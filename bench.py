@@ -1,0 +1,64 @@
+"""Headline benchmark: 512x512 denoised CT slices/sec on one chip through the
+flagship MTD-GAN Res-FFT-Conv generator (the BASELINE.json metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline is measured against the driver target of 5x an H100-PyTorch
+reference. The reference repo publishes no throughput numbers (BASELINE.md),
+so the H100 figure is an analytic estimate documented here:
+  generator work/slice ~ 0.29 TFLOP (22 enc/dec convs + 21 FFT blocks at
+  512x512x32, fp32) ; H100 PyTorch (TF32 cuDNN + cuFFT, 32-channel convs at
+  low MXU utilization) ~ 200 slices/sec  =>  target 1000 slices/sec/chip.
+vs_baseline = value / 1000 (>= 1.0 means the 5x target is met).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+H100_PYTORCH_SLICES_PER_SEC_EST = 200.0
+TARGET = 5.0 * H100_PYTORCH_SLICES_PER_SEC_EST
+
+
+def main():
+    from mtd_gan_tpu.models.mtd_gan import MTDGANModel
+
+    model = MTDGANModel(gen_features=32, num_layers=10, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(2024)
+    batch = 4
+    x = jax.random.uniform(rng, (batch, 512, 512, 1), jnp.float32)
+    params = jax.jit(model.Generator.init)(rng, x)["params"]
+
+    @jax.jit
+    def fwd(inp):
+        return model.Generator.apply({"params": params}, inp)
+
+    # warmup / compile
+    jax.block_until_ready(fwd(x))
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fwd(x)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    slices_per_sec = batch * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "512x512 CT slices/sec/chip (MTD-GAN G inference)",
+                "value": round(slices_per_sec, 2),
+                "unit": "slices/sec",
+                "vs_baseline": round(slices_per_sec / TARGET, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""MTD-GAN trainer: alternating D (multi-task, MTO gradient surgery) and G
+steps, fully jitted.
+
+Reference flow (engine.py:26-76 + train.py:117-127):
+  * D: d_loss -> stacked [disc, rec, consist]; WeightMethods.backward with
+    shared / task-specific / last-shared partitions; AdamW(lr, wd 5e-4);
+    when method has learnable params (uw logsigma) they sit in a second
+    AdamW group at lr 0.025.
+  * G: scalar g_loss -> AdamW.
+TPU-native: one jax.vjp + vmapped pullback produces the 3 per-task gradients
+(one forward, one batched backward) instead of 3 sequential torch backwards;
+everything (solver included) compiles into a single XLA program; the whole
+step is donated so parameters update in place in HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from mtd_gan_tpu import optim as optim_lib
+from mtd_gan_tpu.models.base import GANVariables, param_labels
+from mtd_gan_tpu.mto import combine_grads, get_method, per_task_grads
+from mtd_gan_tpu.mto.methods import uw_logsigma_grad
+from mtd_gan_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+
+@struct.dataclass
+class GANTrainState:
+    params_g: Any
+    params_d: Any
+    state_d: Any
+    opt_g: Any
+    opt_d: Any
+    mto_state: Any
+    mto_opt: Any  # optimizer state for learnable method params (uw logsigma)
+    rng: jax.Array
+    step: jax.Array
+
+
+class MTDGANTrainer:
+    def __init__(
+        self,
+        model,
+        method: Optional[str] = "pcgrad",
+        optimizer: str = "adamw",
+        lr: float = 1e-4,
+        weight_decay: float = 5e-4,
+        method_lr: float = 0.025,
+        mesh=None,
+        **method_kwargs,
+    ):
+        self.model = model
+        self.base_lr = lr
+        self.mesh = mesh
+        self.tx_g = optim_lib.get_optimizer(optimizer, lr, weight_decay)
+        self.tx_d = optim_lib.get_optimizer(optimizer, lr, weight_decay)
+        # second AdamW param group for learnable method params (train.py:122-124)
+        self.tx_mto = optax.adamw(method_lr, b1=0.9, b2=0.999, eps=1e-8,
+                                  weight_decay=5e-4)
+        self.method = (
+            get_method(method, n_tasks=model.n_d_tasks, **method_kwargs)
+            if method
+            else None
+        )
+        self._labels = None
+        self._step_fn = None
+
+    def create_state(self, rng, patch_shape=(1, 64, 64, 1)) -> GANTrainState:
+        gv: GANVariables = self.model.init(rng, patch_shape)
+        self._labels = param_labels(gv.params_d, self.model.d_param_label)
+        mto_state = self.method.init_state() if self.method else None
+        mto_opt = (
+            self.tx_mto.init(mto_state.logsigma)
+            if (self.method and self.method.name == "uw")
+            else optax.EmptyState()
+        )
+        state = GANTrainState(
+            params_g=gv.params_g,
+            params_d=gv.params_d,
+            state_d=gv.state_d,
+            opt_g=self.tx_g.init(gv.params_g),
+            opt_d=self.tx_d.init(gv.params_d),
+            mto_state=mto_state,
+            mto_opt=mto_opt,
+            rng=rng,
+            step=jnp.zeros((), jnp.int32),
+        )
+        if self.mesh is not None:
+            state = jax.device_put(state, replicated_sharding(self.mesh))
+        self._step_fn = self._build_step()
+        return state
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        model, method, labels = self.model, self.method, self._labels
+
+        def d_update(state: GANTrainState, rng_d, rng_mto, x, y):
+            def loss_fn(pd):
+                losses_vec, (new_sp, details) = model.d_loss(
+                    pd, state.params_g, state.state_d, rng_d, x, y
+                )
+                return losses_vec, (new_sp, details)
+
+            if method is not None:
+                losses_vec, stacked, (new_sp, details) = per_task_grads(
+                    loss_fn, state.params_d, model.n_d_tasks
+                )
+                grad_d, mto_state, weights = combine_grads(
+                    method, state.mto_state, rng_mto, losses_vec, stacked, labels
+                )
+                mto_opt = state.mto_opt
+                if method.name == "uw":
+                    ls_grad = uw_logsigma_grad(state.mto_state, losses_vec)
+                    upd, mto_opt = self.tx_mto.update(
+                        ls_grad, state.mto_opt, state.mto_state.logsigma
+                    )
+                    mto_state = mto_state.replace(
+                        logsigma=optax.apply_updates(
+                            state.mto_state.logsigma, upd
+                        )
+                    )
+            else:
+                # no MTO: plain sum of stacked losses (engine.py:57-74 branch)
+                def summed(pd):
+                    losses_vec, aux = loss_fn(pd)
+                    return jnp.sum(losses_vec), (losses_vec, aux)
+
+                (_, (losses_vec, (new_sp, details))), grad_d = (
+                    jax.value_and_grad(summed, has_aux=True)(state.params_d)
+                )
+                mto_state, mto_opt = state.mto_state, state.mto_opt
+                weights = None
+
+            updates, opt_d = self.tx_d.update(grad_d, state.opt_d, state.params_d)
+            params_d = optax.apply_updates(state.params_d, updates)
+            state = state.replace(
+                params_d=params_d, opt_d=opt_d, state_d=new_sp,
+                mto_state=mto_state, mto_opt=mto_opt,
+            )
+            return state, losses_vec, details
+
+        def g_update(state: GANTrainState, rng_g, x, y):
+            def loss_fn(pg):
+                total, (new_sp, details) = model.g_loss(
+                    pg, state.params_d, state.state_d, rng_g, x, y
+                )
+                return total, (new_sp, details)
+
+            (g_total, (new_sp, details)), grad_g = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params_g)
+            updates, opt_g = self.tx_g.update(grad_g, state.opt_g, state.params_g)
+            params_g = optax.apply_updates(state.params_g, updates)
+            state = state.replace(params_g=params_g, opt_g=opt_g, state_d=new_sp)
+            return state, g_total, details
+
+        def step(state: GANTrainState, x, y):
+            rng, rng_d, rng_mto, rng_g = jax.random.split(state.rng, 4)
+            state, d_losses, d_details = d_update(state, rng_d, rng_mto, x, y)
+            state, g_total, g_details = g_update(state, rng_g, x, y)
+            state = state.replace(rng=rng, step=state.step + 1)
+            metrics = {**d_details, **g_details}
+            metrics["d_loss"] = jnp.sum(d_losses)
+            metrics["g_loss"] = g_total
+            return state, metrics
+
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=(0,))
+        repl = replicated_sharding(self.mesh)
+        data = batch_sharding(self.mesh)
+        return jax.jit(
+            step,
+            donate_argnums=(0,),
+            in_shardings=(repl, data, data),
+            out_shardings=(repl, repl),
+        )
+
+    # ------------------------------------------------------------------
+    def train_step(self, state: GANTrainState, x, y):
+        return self._step_fn(state, x, y)
+
+    def set_epoch_lr(self, state: GANTrainState, lr: float):
+        optim_lib.set_learning_rate(state.opt_g, lr)
+        optim_lib.set_learning_rate(state.opt_d, lr)
+        return state
+
+    def generate(self, state: GANTrainState, x):
+        return self.model.generate(state.params_g, x)

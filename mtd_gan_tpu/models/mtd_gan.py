@@ -1,0 +1,310 @@
+"""MTD-GAN — Res-FFT-Conv generator + multi-task discriminator.
+
+Parity targets (reference arch/Ours/networks.py):
+  ResFFTGenerator          -> :38-164   (11 convs / 11 deconvs / 21 FFT blocks,
+                                         long skip-adds, N(0,0.01) init; final
+                                         config in=1 ch=32 layers=10 k=3 p=1,
+                                         :1944)
+  MultiTaskDiscriminator   -> :177-474  (spectral-norm VGG-ish encoder, 1x1
+                                         bottleneck x2, CLS/SEG/REC decoders,
+                                         64x64 input contract)
+  MTDGANModel.d_loss       -> :1957-1992 (stacked [disc, rec, consist]:
+                                         LSGAN CLS + NDS SEG; REC L1; RC
+                                         consistency on clipped restorations)
+  MTDGANModel.g_loss       -> :1994-2009 (LSGAN + NDS + 50*Charbonnier +
+                                         50*EdgeLoss)
+  shared/task-specific/last-shared partitions -> :318-380 (D), :63-93 (G)
+
+TPU-first notes: NHWC layout; the 21 FFT blocks are rfft2 -> channel matmul
+(MXU) -> irfft2 under XLA (Pallas-fused variant pluggable); spectral-norm u
+vectors live in the 'spectral' collection and are threaded explicitly through
+the four D applications per d_loss, mirroring torch's per-forward power
+iteration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mtd_gan_tpu import losses
+from mtd_gan_tpu.models.base import GANVariables
+from mtd_gan_tpu.ops.fft_conv import FFTConvBlock
+from mtd_gan_tpu.ops.layers import Conv, ConvTranspose, Dense, normal_init
+from mtd_gan_tpu.ops.pixel_shuffle import PixelShuffleUpsample
+
+Array = jax.Array
+
+_INIT = normal_init(0.01)
+
+
+class ResFFTGenerator(nn.Module):
+    """Symmetric encoder/decoder with 21 interleaved Res-FFT-Conv blocks."""
+
+    in_channels: int = 1
+    features: int = 32
+    num_layers: int = 10
+    kernel_size: int = 3
+    padding: int = 1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k = (self.kernel_size, self.kernel_size)
+        conv = lambda name: Conv(
+            self.features, kernel_size=k, padding=self.padding,
+            kernel_init=_INIT, dtype=self.dtype, name=name,
+        )
+        deconv = lambda feats, name: ConvTranspose(
+            feats, kernel_size=k, padding=self.padding,
+            kernel_init=_INIT, dtype=self.dtype, name=name,
+        )
+        fft = lambda i: FFTConvBlock(self.features, kernel_init=_INIT, name=f"fft_{i}")
+
+        skips = []
+        h = x
+        for i in range(self.num_layers):
+            h = nn.relu(conv(f"enc_{i}")(h))
+            h = fft(i)(h)
+            skips.append(h)
+
+        h = nn.relu(conv(f"enc_{self.num_layers}")(h))
+        h = fft(self.num_layers)(h)
+
+        h = nn.relu(deconv(self.features, f"dec_{self.num_layers}")(h) + skips[-1])
+        for i in range(self.num_layers - 1, 0, -1):
+            h = fft(2 * self.num_layers - i)(h)
+            h = nn.relu(deconv(self.features, f"dec_{i}")(h) + skips[i - 1])
+        h = fft(2 * self.num_layers)(h)
+        return nn.relu(deconv(self.in_channels, "dec_0")(h) + x)
+
+
+class MultiTaskDiscriminator(nn.Module):
+    """Spectral-norm encoder + CLS/SEG/REC decoders; input must be 64x64
+    (CLS flatten -> Dense(512, 512) requires a 1x1x512 bottleneck)."""
+
+    in_channels: int = 1
+    features: int = 64
+    dropout_rate: float = 0.3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, x: Array, train: bool = True, update_stats: bool = True
+    ) -> Tuple[Array, Array, Array]:
+        f = self.features
+        enc_ch = [f, f * 2, f * 4, f * 8, f * 8, f * 8]
+
+        def sn_conv(feats, name, kernel=(3, 3), stride=(1, 1), pad=1):
+            return Conv(
+                feats, kernel_size=kernel, strides=stride, padding=pad,
+                spectral_norm=True, kernel_init=_INIT, dtype=self.dtype, name=name,
+            )
+
+        lrelu = lambda z: nn.leaky_relu(z, 0.2)
+
+        # ---- encoder ----
+        h = x
+        skips = []
+        for i, ch in enumerate(enc_ch, start=1):
+            h = lrelu(sn_conv(ch, f"conv{i}1")(h, update_stats))
+            h = lrelu(sn_conv(ch, f"conv{i}2")(h, update_stats))
+            skips.append(h)
+            h = sn_conv(ch, f"down{i}", kernel=(4, 4), stride=(2, 2))(h, update_stats)
+
+        # ---- bottleneck ----
+        h = lrelu(sn_conv(f * 8, "bconv1", kernel=(1, 1), pad=0)(h, update_stats))
+        x_bot = lrelu(sn_conv(f * 8, "bconv2", kernel=(1, 1), pad=0)(h, update_stats))
+
+        # ---- CLS decoder ----
+        c = x_bot.reshape(x_bot.shape[0], -1)
+        c = Dense(f * 8, spectral_norm=True, kernel_init=_INIT, name="c_fc")(
+            c, update_stats
+        )
+        c = lrelu(c)
+        c = nn.Dropout(self.dropout_rate, deterministic=not train, name="c_drop")(c)
+        cls_out = Dense(1, kernel_init=_INIT, name="enc_out")(c)
+
+        # ---- SEG decoder (bilinear upsample + skip concat) ----
+        seg_ch = [f * 8, f * 8, f * 4, f * 2, f, 1]
+        s = x_bot
+        for i, ch in enumerate(seg_ch, start=1):
+            n_, h_, w_, c_ = s.shape
+            s = jax.image.resize(s, (n_, h_ * 2, w_ * 2, c_), method="bilinear")
+            s = jnp.concatenate([s, skips[6 - i]], axis=-1)
+            s = lrelu(sn_conv(ch, f"s_dconv{i}1")(s, update_stats))
+            s = lrelu(sn_conv(ch, f"s_dconv{i}2")(s, update_stats))
+        seg_out = Conv(1, kernel_size=(1, 1), padding=0, kernel_init=_INIT,
+                       dtype=self.dtype, name="dec_out")(s)
+
+        # ---- REC decoder (pixel-shuffle upsample + skip concat) ----
+        r = x_bot
+        rec_ch = [f * 8, f * 8, f * 4, f * 2, f, 1]
+        for i, ch in enumerate(rec_ch, start=1):
+            r = PixelShuffleUpsample(
+                r.shape[-1], scale=2, kernel_init=_INIT, name=f"r_up{i}"
+            )(r)
+            r = jnp.concatenate([r, skips[6 - i]], axis=-1)
+            r = lrelu(sn_conv(ch, f"r_dconv{i}1")(r, update_stats))
+            r = lrelu(sn_conv(ch, f"r_dconv{i}2")(r, update_stats))
+        rec_out = Conv(1, kernel_size=(1, 1), padding=0, kernel_init=_INIT,
+                       dtype=self.dtype, name="rec_out")(r)
+
+        return cls_out, seg_out, rec_out
+
+
+# partition labels for MTO gradient surgery (reference :318-380)
+_D_SHARED_PREFIXES = tuple(
+    [f"conv{i}{j}" for i in range(1, 7) for j in (1, 2)]
+    + [f"down{i}" for i in range(1, 7)]
+    + ["bconv1", "bconv2"]
+)
+_D_TASK_PREFIXES = tuple(
+    [f"s_dconv{i}{j}" for i in range(1, 7) for j in (1, 2)]
+    + [f"r_up{i}" for i in range(1, 7)]
+    + [f"r_dconv{i}{j}" for i in range(1, 7) for j in (1, 2)]
+    + ["enc_out", "dec_out", "rec_out"]
+)
+# NOTE: "c_fc" appears in neither list — faithful to the reference, whose
+# PCGrad/CAGrad paths never populate c_fc.grad (weight_methods.py:429-447).
+
+
+def d_param_label(path: Tuple[str, ...]) -> str:
+    top = path[0]
+    if top in _D_SHARED_PREFIXES:
+        return "shared"
+    if top in _D_TASK_PREFIXES:
+        return "task"
+    return "unassigned"
+
+
+def d_last_shared_label(path: Tuple[str, ...]) -> bool:
+    return path[0] == "bconv2"
+
+
+class MTDGANModel:
+    """Flagship adversarial model. d_loss returns the stacked 3-task vector
+    consumed by the MTO layer; g_loss is a scalar."""
+
+    name = "MTD_GAN"
+    n_d_tasks = 3
+
+    def __init__(
+        self,
+        gen_features: int = 32,
+        disc_features: int = 64,
+        num_layers: int = 10,
+        dtype=None,
+    ):
+        self.Generator = ResFFTGenerator(
+            in_channels=1, features=gen_features, num_layers=num_layers,
+            kernel_size=3, padding=1, dtype=dtype,
+        )
+        self.Discriminator = MultiTaskDiscriminator(
+            in_channels=1, features=disc_features, dtype=dtype
+        )
+
+    # ---- init ----
+    def init(self, rng, patch_shape=(1, 64, 64, 1)) -> GANVariables:
+        rng_g, rng_d = jax.random.split(rng)
+        x = jnp.zeros(patch_shape, jnp.float32)
+        # init under jit: the axon TPU backend lacks eager FFT kernels, and
+        # jitted init is faster everywhere
+        params_g = jax.jit(self.Generator.init)(rng_g, x)["params"]
+        d_vars = jax.jit(partial(self.Discriminator.init, train=False))(rng_d, x)
+        return GANVariables(
+            params_g=params_g,
+            params_d=d_vars["params"],
+            state_d=d_vars.get("spectral", {}),
+        )
+
+    # ---- forwards ----
+    # jitted by default: the axon TPU backend has no eager FFT kernels, and
+    # jit-of-jit inside the trainer is free
+    @partial(jax.jit, static_argnums=0)
+    def generate(self, params_g, x: Array) -> Array:
+        return self.Generator.apply({"params": params_g}, x)
+
+    def _apply_d(self, params_d, spectral, x, rng, train):
+        out, mutated = self.Discriminator.apply(
+            {"params": params_d, "spectral": spectral},
+            x,
+            train=train,
+            update_stats=train,
+            rngs={"dropout": rng} if train else None,
+            mutable=["spectral"],
+        )
+        return out, mutated["spectral"]
+
+    # ---- losses ----
+    def d_loss(self, params_d, params_g, state_d, rng, x, y, train=True):
+        """Returns (stacked [disc, rec, consist], (new_state, details))."""
+        rngs = jax.random.split(rng, 4)
+        fake = jax.lax.stop_gradient(self.generate(params_g, x))
+        sp = state_d
+
+        (real_enc, real_dec, real_rec), sp = self._apply_d(params_d, sp, y, rngs[0], train)
+        (fake_enc, fake_dec, fake_rec), sp = self._apply_d(params_d, sp, fake, rngs[1], train)
+
+        diff = x - y
+        d_real_enc = losses.ls_gan(real_enc, 1.0)
+        d_fake_enc = losses.ls_gan(fake_enc, 0.0)
+        d_real_dec = losses.nds_loss(real_dec, 1.0, diff)
+        d_fake_dec = losses.nds_loss(fake_dec, 0.0, diff)
+        disc_loss = d_real_enc + d_fake_enc + d_real_dec + d_fake_dec
+
+        rec_loss_real = losses.l1(real_rec, y)
+        rec_loss_fake = losses.l1(fake_rec, fake)
+        rec_loss = rec_loss_real + rec_loss_fake
+
+        # restoration-consistency (RC): D outputs on its own clipped restorations
+        (rr_enc, rr_dec, _), sp = self._apply_d(
+            params_d, sp, jnp.clip(real_rec, 0.0, 1.0), rngs[2], train
+        )
+        (rf_enc, rf_dec, _), sp = self._apply_d(
+            params_d, sp, jnp.clip(fake_rec, 0.0, 1.0), rngs[3], train
+        )
+        c_re = losses.l2(real_enc, rr_enc)
+        c_rd = losses.l2(real_dec, rr_dec)
+        c_fe = losses.l2(fake_enc, rf_enc)
+        c_fd = losses.l2(fake_dec, rf_dec)
+        consist_loss = c_re + c_rd + c_fe + c_fd
+
+        details = {
+            "D/real_enc": d_real_enc, "D/fake_enc": d_fake_enc,
+            "D/real_dec": d_real_dec, "D/fake_dec": d_fake_dec,
+            "D/rec_loss_real": rec_loss_real, "D/rec_loss_fake": rec_loss_fake,
+            "D/consist_loss_real_enc": c_re, "D/consist_loss_real_dec": c_rd,
+            "D/consist_loss_fake_enc": c_fe, "D/consist_loss_fake_dec": c_fd,
+        }
+        return jnp.stack([disc_loss, rec_loss, consist_loss]), (sp, details)
+
+    def g_loss(self, params_g, params_d, state_d, rng, x, y, train=True):
+        fake = self.generate(params_g, x)
+        (gen_enc, gen_dec, _), sp = self._apply_d(params_d, state_d, fake, rng, train)
+
+        adv_enc = losses.ls_gan(gen_enc, 1.0)
+        adv_dec = losses.nds_loss(gen_dec, 1.0, x - y)
+        pix_loss = 50.0 * losses.charbonnier_loss(fake, y)
+        edge = 50.0 * losses.edge_loss(fake, y)
+        total = adv_enc + adv_dec + pix_loss + edge
+
+        details = {
+            "G/gen_enc": adv_enc, "G/gen_dec": adv_dec,
+            "G/pix_loss": pix_loss, "G/edge_loss": edge,
+        }
+        return total, (sp, details)
+
+    # ---- MTO partitions ----
+    @staticmethod
+    def d_param_label(path):
+        return d_param_label(path)
+
+    @staticmethod
+    def d_last_shared_label(path):
+        return d_last_shared_label(path)

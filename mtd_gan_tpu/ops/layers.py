@@ -1,0 +1,212 @@
+"""Core parametric layers: Conv / ConvTranspose / Dense with optional
+spectral normalization.
+
+Spectral norm replaces torch's ``nn.utils.spectral_norm`` hook (used on every
+discriminator conv in the reference, e.g. arch/Ours/networks.py:181-305):
+one power-iteration step per call on the (out, -1)-reshaped weight matrix,
+sigma computed with the iterated (stop-gradiented) singular vectors so the
+gradient flows only through the raw weight. The left singular vector ``u`` is
+persisted in the ``"spectral"`` linen variable collection and threaded
+explicitly through jitted train steps (TPU-native replacement for torch's
+in-place buffer mutation).
+
+Layout: NHWC activations, HWIO conv kernels (XLA-native on TPU).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+def normal_init(stddev: float = 0.01) -> Callable:
+    """N(0, stddev) weight init used by the MTD-GAN family
+    (reference arch/Ours/networks.py:57-61: weight ~ N(0, 0.01), bias = 0)."""
+    return nn.initializers.normal(stddev=stddev)
+
+
+def torch_kernel_init() -> Callable:
+    """torch nn.Conv2d/Linear default init: kaiming_uniform(a=sqrt(5)), i.e.
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — variance scale 1/3 fan-in uniform."""
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(fan_in: int) -> Callable:
+    """torch default bias init U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = float(fan_in) ** -0.5
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _l2_normalize(x: Array, eps: float = 1e-12) -> Array:
+    return x / (jnp.linalg.norm(x) + eps)
+
+
+class _SpectralMixin:
+    """Shared power-iteration logic.
+
+    The weight is reshaped to (out_features, -1); column order does not
+    affect singular values, so the flax HWIO layout needs no transpose
+    gymnastics beyond putting the output axis first.
+    """
+
+    def _spectral_normalize(self, w_mat: Array, update_stats: bool) -> Array:
+        out_dim = w_mat.shape[0]
+        u_var = self.variable(
+            "spectral",
+            "u",
+            lambda: _l2_normalize(
+                jax.random.normal(
+                    jax.random.PRNGKey(self.sn_seed), (out_dim,), jnp.float32
+                )
+            ),
+        )
+        u = u_var.value
+        w_stop = jax.lax.stop_gradient(w_mat)
+        v = _l2_normalize(w_stop.T @ u)
+        u_new = _l2_normalize(w_stop @ v)
+        if update_stats and not self.is_initializing():
+            u_var.value = u_new
+        sigma = jnp.einsum("i,ij,j->", jax.lax.stop_gradient(u_new), w_mat, v)
+        return sigma
+
+
+class Conv(nn.Module, _SpectralMixin):
+    """2-D convolution (NHWC) with optional spectral norm.
+
+    kernel layout HWIO; `padding` accepts int (symmetric), 'SAME', 'VALID'.
+    """
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    padding: int | str = "SAME"
+    use_bias: bool = True
+    spectral_norm: bool = False
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+    dtype: jnp.dtype | None = None
+    sn_seed: int = 0
+    feature_group_count: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array, update_stats: bool = True) -> Array:
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1] // self.feature_group_count
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, in_ch, self.features), jnp.float32
+        )
+        if self.spectral_norm:
+            w_mat = kernel.transpose(3, 0, 1, 2).reshape(self.features, -1)
+            sigma = self._spectral_normalize(w_mat, update_stats)
+            kernel = kernel / sigma
+
+        if isinstance(self.padding, int):
+            pad = [(self.padding, self.padding)] * 2
+        else:
+            pad = self.padding
+
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=tuple(self.strides),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.feature_group_count,
+        )
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            y = y + bias.astype(dtype)
+        return y
+
+
+class ConvTranspose(nn.Module, _SpectralMixin):
+    """2-D transposed convolution (NHWC), torch-semantics output size:
+    out = (in - 1) * stride - 2 * padding + kernel.
+
+    Implemented via lhs-dilated convolution with the kernel spatially flipped
+    and I/O axes swapped — the exact adjoint of Conv, so reference deconv
+    stacks (e.g. RED-CNN arch/RED_CNN/networks.py:16-20) map 1:1.
+    """
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    padding: int = 0
+    use_bias: bool = True
+    spectral_norm: bool = False
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+    dtype: jnp.dtype | None = None
+    sn_seed: int = 0
+
+    @nn.compact
+    def __call__(self, x: Array, update_stats: bool = True) -> Array:
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        # Stored layout mirrors torch ConvTranspose2d (in, out) ordering in
+        # HW(I=in)(O=out) form so init scales and weight import line up.
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, in_ch, self.features), jnp.float32
+        )
+        if self.spectral_norm:
+            # torch reshapes transposed-conv weight (in, out, kh, kw) -> (in, -1)
+            w_mat = kernel.transpose(2, 0, 1, 3).reshape(in_ch, -1)
+            sigma = self._spectral_normalize(w_mat, update_stats)
+            kernel = kernel / sigma
+
+        sh, sw = self.strides
+        p = self.padding
+        dtype = self.dtype or x.dtype
+        # adjoint conv: flip spatial, swap in/out, pad (k - 1 - p)
+        flipped = kernel[::-1, ::-1, :, :]
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            flipped.astype(dtype),
+            window_strides=(1, 1),
+            padding=[(kh - 1 - p, kh - 1 - p), (kw - 1 - p, kw - 1 - p)],
+            lhs_dilation=(sh, sw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            y = y + bias.astype(dtype)
+        return y
+
+
+class Dense(nn.Module, _SpectralMixin):
+    """Dense layer with optional spectral norm (reference: SN-Linear CLS head,
+    arch/Ours/networks.py:226)."""
+
+    features: int
+    use_bias: bool = True
+    spectral_norm: bool = False
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+    dtype: jnp.dtype | None = None
+    sn_seed: int = 0
+
+    @nn.compact
+    def __call__(self, x: Array, update_stats: bool = True) -> Array:
+        in_dim = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (in_dim, self.features), jnp.float32
+        )
+        if self.spectral_norm:
+            sigma = self._spectral_normalize(kernel.T, update_stats)
+            kernel = kernel / sigma
+        dtype = self.dtype or x.dtype
+        y = x.astype(dtype) @ kernel.astype(dtype)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            y = y + bias.astype(dtype)
+        return y
