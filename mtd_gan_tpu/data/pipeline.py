@@ -60,10 +60,15 @@ class PairedDicomDataset:
         return len(self.low_paths)
 
     def load(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
-        return (
-            get_pixels_hu(self.low_paths[idx]),
-            get_pixels_hu(self.high_paths[idx]),
-        )
+        return self._decode(self.low_paths[idx]), self._decode(self.high_paths[idx])
+
+    @staticmethod
+    def _decode(path: str) -> np.ndarray:
+        # native C++ fast path (GIL-releasing) with pure-Python fallback
+        from mtd_gan_tpu.data import native
+
+        hu = native.decode_hu(path)
+        return hu if hu is not None else get_pixels_hu(path)
 
 
 def _batched_indices(n: int, batch_size: int, shuffle: bool, drop_last: bool,

@@ -6,5 +6,11 @@ Replaces the reference's seven near-duplicate train/valid/test loop triples
 
 from mtd_gan_tpu.engine.supervised import SupervisedTrainer
 from mtd_gan_tpu.engine.gan import MTDGANTrainer
+from mtd_gan_tpu.engine.wgan import AdversarialTrainer, DUGANTrainer
 
-__all__ = ["SupervisedTrainer", "MTDGANTrainer"]
+__all__ = [
+    "SupervisedTrainer",
+    "MTDGANTrainer",
+    "AdversarialTrainer",
+    "DUGANTrainer",
+]

@@ -1,0 +1,215 @@
+"""Epoch loops: train / validate / test for every model family.
+
+Replaces the reference's seven near-duplicate loop triples
+(engine.py:26-897) with one family-dispatched implementation:
+  cnn   RED_CNN, EDCNN           supervised, full/patch train, full-image eval
+  tr    CTformer, Restormer      patch train, sliding-window eval
+                                  (roi 64, overlap 0.3 valid / 0.9 test;
+                                   engine.py:345,378)
+  wgan  WGAN_VGG, MAP_NN         4 D steps : 1 G step
+  dugan DU_GAN                   three optimizers
+  mtd   MTD_GAN_Method (+ablations) stacked-loss D + MTO
+  dn    DDPM/DDIM/PNDM/DPM       eps-MSE train, sliding-window sampling eval
+
+All eval denormalizes with x*0.5+0.5? NO — the reference fn_denorm
+(engine.py:18) is an artifact of an earlier [-1,1] pipeline; with [0,1]
+windowed data the clip(0,1) is what matters. We clip to [0,1] exactly as the
+reference does before metrics (engine.py:133).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtd_gan_tpu import losses as losses_lib
+from mtd_gan_tpu.metrics import pixel as pixel_metrics
+from mtd_gan_tpu.ops.sliding_window import sliding_window_inference
+from mtd_gan_tpu.utils.artifacts import save_csv, save_png_gray
+from mtd_gan_tpu.utils.logging import MetricLogger
+
+FAMILY = {
+    "RED_CNN": "cnn", "EDCNN": "cnn",
+    "CTformer": "tr", "Restormer": "tr",
+    "WGAN_VGG": "wgan", "MAP_NN": "wgan",
+    "DU_GAN": "dugan",
+    "MTD_GAN_Method": "mtd",
+    "DDPM": "dn", "DDIM": "dn", "PNDM": "dn", "DPM": "dn",
+}
+
+
+def family_of(model_name: str) -> str:
+    if model_name.startswith("Ablation_"):
+        return "mtd"
+    return FAMILY.get(model_name, "cnn")
+
+
+def build_trainer(model_name: str, model, args, mesh=None):
+    from mtd_gan_tpu.engine.gan import MTDGANTrainer
+    from mtd_gan_tpu.engine.supervised import SupervisedTrainer
+    from mtd_gan_tpu.engine.wgan import AdversarialTrainer, DUGANTrainer
+
+    fam = family_of(model_name)
+    kw = dict(optimizer=args.optimizer, lr=args.lr, mesh=mesh)
+    if fam in ("cnn", "tr", "dn"):
+        return SupervisedTrainer(model, **kw)
+    if fam == "wgan":
+        return AdversarialTrainer(model, **kw)
+    if fam == "dugan":
+        return DUGANTrainer(model, **kw)
+    if fam == "mtd":
+        method = getattr(args, "method", "") or None
+        if getattr(model, "n_d_tasks", 1) > 1 and method:
+            return MTDGANTrainer(model, method=method, **kw)
+        return AdversarialTrainer(model, n_critic=1, **kw)
+    raise KeyError(fam)
+
+
+def train_one_epoch(trainer, state, loader, preprocess, rng, epoch: int,
+                    print_freq: int = 10, header: str = "Train:") -> tuple:
+    logger = MetricLogger()
+    for i, (hu_x, hu_y) in enumerate(logger.log_every(loader, print_freq, header)):
+        rng, r_pre = jax.random.split(rng)
+        x, y = preprocess(r_pre, jnp.asarray(hu_x), jnp.asarray(hu_y))
+        state, metrics = trainer.train_step(state, x, y)
+        logger.update(**{k: float(v) for k, v in metrics.items()
+                         if np.ndim(v) == 0})
+    return state, logger.global_averages(), rng
+
+
+def _predictor_for(model, state, family: str, rng=None):
+    """Full-image prediction function per family."""
+    if family in ("cnn",):
+        params = state.params
+        return jax.jit(lambda z: model.apply(params, z))
+    if family == "tr":
+        params = state.params
+        fn = jax.jit(lambda z: model.apply(params, z))
+        return fn
+    if family in ("wgan", "mtd"):
+        params_g = state.params_g
+        return lambda z: model.generate(params_g, z)
+    if family == "dugan":
+        params_g = state.params_g
+        return lambda z: model.generate(params_g, z)
+    if family == "dn":
+        params = state.params
+        r = rng if rng is not None else jax.random.PRNGKey(0)
+        return lambda z: model.sample(params, r, z)
+    raise KeyError(family)
+
+
+def validate(model, state, loader, eval_preprocess, family: str,
+             epoch: int, save_dir: Optional[str] = None,
+             criterion=losses_lib.l1, rng=None,
+             tr_overlap: float = 0.3, tr_sw_batch: int = 32) -> Dict[str, float]:
+    """Per-epoch validation (reference valid_* loops: criterion + PNG dump)."""
+    predictor = _predictor_for(model, state, family, rng)
+    logger = MetricLogger()
+    last = None
+    for batch in loader:
+        hu_x, hu_y = batch[0], batch[1]
+        x, y = eval_preprocess(jnp.asarray(hu_x), jnp.asarray(hu_y))
+        if family in ("tr", "dn"):
+            pred = sliding_window_inference(
+                x, (64, 64), predictor, sw_batch_size=tr_sw_batch,
+                overlap=tr_overlap if family == "tr" else 0.5,
+                mode="constant",
+            )
+        else:
+            pred = predictor(x)
+        logger.update(loss=float(criterion(pred, y)))
+        last = (x, y, pred)
+    if save_dir and last is not None:
+        x, y, pred = last
+        save_png_gray(os.path.join(save_dir, f"epoch_{epoch}_input.png"),
+                      np.asarray(x[0]))
+        save_png_gray(os.path.join(save_dir, f"epoch_{epoch}_gt.png"),
+                      np.asarray(y[0]))
+        save_png_gray(os.path.join(save_dir, f"epoch_{epoch}_pred.png"),
+                      np.asarray(jnp.clip(pred[0], 0, 1)))
+    return logger.global_averages()
+
+
+def run_test(model, state, loader, eval_preprocess, family: str,
+             save_dir: str, rng=None, compute_fid_metric: bool = True,
+             tr_overlap: float = 0.9, tr_sw_batch: int = 960,
+             compute_feature_metrics: bool = True) -> Dict[str, float]:
+    """Metric sweep over the test set (reference test_* loops): per-slice
+    PL/TML/RMSE/PSNR/SSIM for input/gt/pred columns, per-slice PNGs,
+    pred_results.csv, corpus FID at the end (engine.py:107-183)."""
+    from mtd_gan_tpu.metrics import fid as fid_lib
+    from mtd_gan_tpu.metrics import perceptual as perc
+
+    predictor = _predictor_for(model, state, family, rng)
+    rows = []
+    feats = {"input": [], "gt": [], "pred": []}
+    os.makedirs(save_dir, exist_ok=True)
+
+    metric_fn = jax.jit(
+        lambda x, y, p: (
+            pixel_metrics.compute_rmse(x, y, p)
+            + pixel_metrics.compute_psnr(x, y, p)
+            + pixel_metrics.compute_ssim(x, y, p)
+        )
+    )
+
+    for batch in loader:
+        hu_x, hu_y, paths = batch[0], batch[1], (batch[2] if len(batch) > 2 else None)
+        x, y = eval_preprocess(jnp.asarray(hu_x), jnp.asarray(hu_y))
+        if family in ("tr", "dn"):
+            pred = sliding_window_inference(
+                x, (64, 64), predictor, sw_batch_size=tr_sw_batch,
+                overlap=tr_overlap if family == "tr" else 0.5, mode="constant",
+            )
+        else:
+            pred = predictor(x)
+        pred = jnp.clip(pred, 0.0, 1.0)
+
+        m = [float(v) for v in metric_fn(x, y, pred)]
+        row = {
+            "input_rmse": m[0], "gt_rmse": m[1], "pred_rmse": m[2],
+            "input_psnr": m[3], "gt_psnr": m[4], "pred_psnr": m[5],
+            "input_ssim": m[6], "gt_ssim": m[7], "pred_ssim": m[8],
+        }
+        if compute_feature_metrics:
+            pls = perc.compute_pl(x, y, pred)
+            tmls = perc.compute_tml(x, y, pred)
+            row.update({
+                "input_pl": float(pls[0]), "gt_pl": float(pls[1]),
+                "pred_pl": float(pls[2]),
+                "input_tml": float(tmls[0]), "gt_tml": float(tmls[1]),
+                "pred_tml": float(tmls[2]),
+            })
+        if compute_fid_metric:
+            fx, fy, fp = fid_lib.compute_feat(x, y, pred)
+            feats["input"].append(np.asarray(fx))
+            feats["gt"].append(np.asarray(fy))
+            feats["pred"].append(np.asarray(fp))
+
+        name = (os.path.basename(paths[0]) if paths
+                else f"slice_{len(rows):05d}") + ".png"
+        row["filename"] = name
+        rows.append(row)
+        save_png_gray(os.path.join(save_dir, "png", name), np.asarray(pred[0]))
+
+    summary = {k: float(np.mean([r[k] for r in rows]))
+               for k in rows[0] if k != "filename"}
+    if compute_fid_metric and feats["gt"]:
+        fids = fid_lib.compute_fid(
+            np.concatenate(feats["input"]), np.concatenate(feats["gt"]),
+            np.concatenate(feats["pred"]),
+        )
+        summary.update({"input_fid": fids[0], "gt_fid": fids[1],
+                        "pred_fid": fids[2]})
+    save_csv(os.path.join(save_dir, "pred_results.csv"), rows)
+    with open(os.path.join(save_dir, "test_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary

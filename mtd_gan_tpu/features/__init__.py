@@ -15,6 +15,7 @@ This image has no torchvision and no network egress, so:
 
 from mtd_gan_tpu.features.registry import (
     feature_weights_status,
+    get_inception_feature_fn,
     get_perceptual_fn,
     get_resnet_feature_fn,
     get_vgg_slices_fn,
@@ -23,6 +24,7 @@ from mtd_gan_tpu.features.registry import (
 __all__ = [
     "get_vgg_slices_fn",
     "get_resnet_feature_fn",
+    "get_inception_feature_fn",
     "get_perceptual_fn",
     "feature_weights_status",
 ]

@@ -61,6 +61,44 @@ def msfr_loss(pred: Array, target: Array) -> Array:
     return jnp.mean(jnp.abs(pf - tf))
 
 
+def make_vgg_loss(feature_fn=None):
+    """5-slice VGG19 perceptual loss, weights [1/32..1], L1 per slice
+    (reference losses.py:49-63). Features are stop-gradiented on the target
+    side only (the reference detaches y features and wraps both in no_grad —
+    under jax.grad the x side contributes no gradient either way there; we
+    keep gradients flowing through x as VGGLoss callers expect)."""
+    if feature_fn is None:
+        from mtd_gan_tpu.features import get_vgg_slices_fn
+
+        feature_fn = get_vgg_slices_fn()
+    weights = (1 / 32, 1 / 16, 1 / 8, 1 / 4, 1.0)
+
+    def loss(x: Array, y: Array) -> Array:
+        fx = feature_fn(x)
+        fy = feature_fn(jax.lax.stop_gradient(y))
+        return sum(w * l1(a, jax.lax.stop_gradient(b))
+                   for w, a, b in zip(weights, fx, fy))
+
+    return loss
+
+
+def make_compound_loss(feature_fn=None, mse_weight=1.0, resnet_weight=0.01):
+    """EDCNN CompoundLoss: MSE + 0.01 * mean ResNet50-block feature MSE
+    (reference losses.py:154-183)."""
+    if feature_fn is None:
+        from mtd_gan_tpu.features import get_resnet_feature_fn
+
+        feature_fn = get_resnet_feature_fn()
+
+    def loss(pred: Array, target: Array) -> Array:
+        fp = feature_fn(pred)
+        ft = feature_fn(target)
+        feat = sum(l2(a, b) for a, b in zip(fp, ft)) / len(fp)
+        return mse_weight * l2(pred, target) + resnet_weight * feat
+
+    return loss
+
+
 def get_loss(name: str):
     """Criterion factory mirroring reference losses.py:186-197."""
     table = {

@@ -1,0 +1,115 @@
+"""Diffusion model wrappers: DDPM / DDIM / PNDM / DPM.
+
+Parity target: reference arch/Diffusion/networks.py:13-125 + the engine's
+diffusion loops (engine.py:789-897):
+  * training: eps-prediction MSE — noisy = add_noise(n_100, eps, t);
+    UNet([noisy ; n_20] concat, t) vs eps (inferer.py:40-69).
+  * sampling: full reverse chain from pure noise conditioned by concat
+    (inferer.py:72-126); DDPM 1000 steps, DDIM/PNDM/DPM 50.
+The whole reverse chain is one lax.scan program (SURVEY.md §7 hard part (g)).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mtd_gan_tpu.models.diffusion.schedulers import (
+    DDIMScheduler,
+    DDPMScheduler,
+    DPMSolverMultistepScheduler,
+    PNDMScheduler,
+)
+from mtd_gan_tpu.models.diffusion.unet import DiffusionUNet
+
+Array = jax.Array
+
+
+class _DiffusionBase:
+    n_inference_steps: int = 50
+
+    def __init__(self, channels=(128, 256, 256), num_head_channels=256,
+                 norm_groups=32, dtype=None):
+        self.unet = DiffusionUNet(
+            in_channels=2, out_channels=1, channels=channels,
+            attention_levels=(False, True, True), num_res_blocks=1,
+            num_head_channels=num_head_channels, norm_groups=norm_groups,
+            dtype=dtype,
+        )
+        self.scheduler = self._make_scheduler()
+
+    def _make_scheduler(self):
+        raise NotImplementedError
+
+    def init(self, rng, sample_shape=(1, 64, 64, 1)):
+        x = jnp.zeros(sample_shape[:3] + (2,), jnp.float32)
+        t = jnp.zeros((sample_shape[0],), jnp.int32)
+        return jax.jit(self.unet.init)(rng, x, t)["params"]
+
+    def loss(self, params, x, y, rng):
+        """eps-MSE: x = condition (n_20), y = target (n_100)."""
+        r_noise, r_t = jax.random.split(rng)
+        noise = jax.random.normal(r_noise, y.shape, y.dtype)
+        t = jax.random.randint(
+            r_t, (y.shape[0],), 0, self.scheduler.num_train_timesteps
+        )
+        noisy = self.scheduler.add_noise(y, noise, t)
+        eps_pred = self.unet.apply(
+            {"params": params}, jnp.concatenate([noisy, x], axis=-1), t
+        )
+        val = jnp.mean((eps_pred - noise) ** 2)
+        return val, {"loss": val}
+
+    @partial(jax.jit, static_argnums=0)
+    def sample(self, params, rng, condition: Array) -> Array:
+        """Full reverse chain from noise, conditioned by channel concat."""
+        noise = jax.random.normal(rng, condition.shape, condition.dtype)
+
+        def eps_fn(xt, t):
+            tb = jnp.full((xt.shape[0],), t, jnp.int32)
+            return self.unet.apply(
+                {"params": params}, jnp.concatenate([xt, condition], axis=-1), tb
+            )
+
+        return self.scheduler.sample(rng, eps_fn, noise,
+                                     self.n_inference_steps)
+
+    # engine-compat: forward == sample (reference networks.py:32-38)
+    def apply(self, params, x, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        return self.sample(params, rng, x)
+
+
+class DDPMModel(_DiffusionBase):
+    name = "DDPM"
+    n_inference_steps = 1000
+
+    def _make_scheduler(self):
+        return DDPMScheduler()
+
+
+class DDIMModel(_DiffusionBase):
+    name = "DDIM"
+    n_inference_steps = 50
+
+    def _make_scheduler(self):
+        return DDIMScheduler()
+
+
+class PNDMModel(_DiffusionBase):
+    name = "PNDM"
+    n_inference_steps = 50
+
+    def _make_scheduler(self):
+        return PNDMScheduler()
+
+
+class DPMModel(_DiffusionBase):
+    name = "DPM"
+    n_inference_steps = 50
+
+    def _make_scheduler(self):
+        return DPMSolverMultistepScheduler()

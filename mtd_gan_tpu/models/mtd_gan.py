@@ -86,17 +86,23 @@ class ResFFTGenerator(nn.Module):
 
 class MultiTaskDiscriminator(nn.Module):
     """Spectral-norm encoder + CLS/SEG/REC decoders; input must be 64x64
-    (CLS flatten -> Dense(512, 512) requires a 1x1x512 bottleneck)."""
+    (CLS flatten -> Dense(512, 512) requires a 1x1x512 bottleneck).
+
+    `heads` selects the decoder subset — the reference's five partial
+    discriminators (CLS / SEG / CLS_SEG / CLS_REC / SEG_REC,
+    arch/Ours/networks.py:507-1320) are this module with fewer heads;
+    outputs are returned in (cls, seg, rec) order for the enabled subset."""
 
     in_channels: int = 1
     features: int = 64
     dropout_rate: float = 0.3
+    heads: Tuple[str, ...] = ("cls", "seg", "rec")
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
         self, x: Array, train: bool = True, update_stats: bool = True
-    ) -> Tuple[Array, Array, Array]:
+    ):
         f = self.features
         enc_ch = [f, f * 2, f * 4, f * 8, f * 8, f * 8]
 
@@ -121,41 +127,49 @@ class MultiTaskDiscriminator(nn.Module):
         h = lrelu(sn_conv(f * 8, "bconv1", kernel=(1, 1), pad=0)(h, update_stats))
         x_bot = lrelu(sn_conv(f * 8, "bconv2", kernel=(1, 1), pad=0)(h, update_stats))
 
+        outputs = []
+
         # ---- CLS decoder ----
-        c = x_bot.reshape(x_bot.shape[0], -1)
-        c = Dense(f * 8, spectral_norm=True, kernel_init=_INIT, name="c_fc")(
-            c, update_stats
-        )
-        c = lrelu(c)
-        c = nn.Dropout(self.dropout_rate, deterministic=not train, name="c_drop")(c)
-        cls_out = Dense(1, kernel_init=_INIT, name="enc_out")(c)
+        if "cls" in self.heads:
+            c = x_bot.reshape(x_bot.shape[0], -1)
+            c = Dense(f * 8, spectral_norm=True, kernel_init=_INIT, name="c_fc")(
+                c, update_stats
+            )
+            c = lrelu(c)
+            c = nn.Dropout(self.dropout_rate, deterministic=not train,
+                           name="c_drop")(c)
+            outputs.append(Dense(1, kernel_init=_INIT, name="enc_out")(c))
 
         # ---- SEG decoder (bilinear upsample + skip concat) ----
-        seg_ch = [f * 8, f * 8, f * 4, f * 2, f, 1]
-        s = x_bot
-        for i, ch in enumerate(seg_ch, start=1):
-            n_, h_, w_, c_ = s.shape
-            s = jax.image.resize(s, (n_, h_ * 2, w_ * 2, c_), method="bilinear")
-            s = jnp.concatenate([s, skips[6 - i]], axis=-1)
-            s = lrelu(sn_conv(ch, f"s_dconv{i}1")(s, update_stats))
-            s = lrelu(sn_conv(ch, f"s_dconv{i}2")(s, update_stats))
-        seg_out = Conv(1, kernel_size=(1, 1), padding=0, kernel_init=_INIT,
-                       dtype=self.dtype, name="dec_out")(s)
+        if "seg" in self.heads:
+            seg_ch = [f * 8, f * 8, f * 4, f * 2, f, 1]
+            s = x_bot
+            for i, ch in enumerate(seg_ch, start=1):
+                n_, h_, w_, c_ = s.shape
+                s = jax.image.resize(s, (n_, h_ * 2, w_ * 2, c_), method="bilinear")
+                s = jnp.concatenate([s, skips[6 - i]], axis=-1)
+                s = lrelu(sn_conv(ch, f"s_dconv{i}1")(s, update_stats))
+                s = lrelu(sn_conv(ch, f"s_dconv{i}2")(s, update_stats))
+            outputs.append(Conv(1, kernel_size=(1, 1), padding=0, kernel_init=_INIT,
+                                dtype=self.dtype, name="dec_out")(s))
 
         # ---- REC decoder (pixel-shuffle upsample + skip concat) ----
-        r = x_bot
-        rec_ch = [f * 8, f * 8, f * 4, f * 2, f, 1]
-        for i, ch in enumerate(rec_ch, start=1):
-            r = PixelShuffleUpsample(
-                r.shape[-1], scale=2, kernel_init=_INIT, name=f"r_up{i}"
-            )(r)
-            r = jnp.concatenate([r, skips[6 - i]], axis=-1)
-            r = lrelu(sn_conv(ch, f"r_dconv{i}1")(r, update_stats))
-            r = lrelu(sn_conv(ch, f"r_dconv{i}2")(r, update_stats))
-        rec_out = Conv(1, kernel_size=(1, 1), padding=0, kernel_init=_INIT,
-                       dtype=self.dtype, name="rec_out")(r)
+        if "rec" in self.heads:
+            r = x_bot
+            rec_ch = [f * 8, f * 8, f * 4, f * 2, f, 1]
+            for i, ch in enumerate(rec_ch, start=1):
+                r = PixelShuffleUpsample(
+                    r.shape[-1], scale=2, kernel_init=_INIT, name=f"r_up{i}"
+                )(r)
+                r = jnp.concatenate([r, skips[6 - i]], axis=-1)
+                r = lrelu(sn_conv(ch, f"r_dconv{i}1")(r, update_stats))
+                r = lrelu(sn_conv(ch, f"r_dconv{i}2")(r, update_stats))
+            outputs.append(Conv(1, kernel_size=(1, 1), padding=0, kernel_init=_INIT,
+                                dtype=self.dtype, name="rec_out")(r))
 
-        return cls_out, seg_out, rec_out
+        if len(outputs) == 1:
+            return outputs[0]
+        return tuple(outputs)
 
 
 # partition labels for MTO gradient surgery (reference :318-380)

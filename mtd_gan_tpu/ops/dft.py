@@ -1,0 +1,113 @@
+"""2-D real DFT as MXU matmuls — the TPU-fast path under the Res-FFT-Conv
+block.
+
+XLA's generic TPU FFT lowering is slow for this workload (measured ~10 ms
+per 512x512x128-slab direction on v5e); expressing the same transform as
+dense DFT factor matmuls keeps all the work on the MXU:
+
+  rfft2(x)  = F_H @ (x @ F_W)          F_W: (W, K) half-spectrum factors,
+  irfft2(z) = real(F_H^{-1} @ z) @ G_W  with Hermitian-fold weights in G_W,
+
+all with 'ortho' normalization folded into the factors. Numerics match
+jnp.fft.rfft2/irfft2 to ~1e-5 in fp32 (validated in tests/test_dft.py).
+Complex arithmetic is spelled out in real/imag parts so XLA sees plain
+fp32 matmuls (TPU fp32 matmul = bf16x3 passes, ~1e-6 accurate).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+@lru_cache(maxsize=16)
+def _rdft_w_factors(w: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Forward real-DFT factors along the last spatial axis:
+    x(..., W) @ (re - i*im) -> half spectrum (..., K), K = W//2 + 1,
+    ortho-normalized."""
+    k = w // 2 + 1
+    n = np.arange(w)[:, None]
+    f = np.arange(k)[None, :]
+    ang = 2.0 * np.pi * n * f / w
+    scale = 1.0 / np.sqrt(w)
+    return (np.cos(ang) * scale).astype(np.float32), (
+        -np.sin(ang) * scale
+    ).astype(np.float32)
+
+
+@lru_cache(maxsize=16)
+def _irdft_w_factors(w: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Inverse factors along W with the Hermitian fold: for half-spectrum
+    Z(..., K): out(..., W) = Re(Z) @ A + Im(Z) @ B, ortho-normalized."""
+    k = w // 2 + 1
+    kk = np.arange(k)[:, None]
+    n = np.arange(w)[None, :]
+    ang = 2.0 * np.pi * kk * n / w
+    c = np.full((k, 1), 2.0)
+    c[0] = 1.0
+    if w % 2 == 0:
+        c[-1] = 1.0
+    scale = 1.0 / np.sqrt(w)
+    a = (c * np.cos(ang) * scale).astype(np.float32)
+    b = (-c * np.sin(ang) * scale).astype(np.float32)
+    return a, b
+
+
+@lru_cache(maxsize=16)
+def _dft_h_factors(h: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Full complex DFT factors along H (ortho): F[m, n] = exp(-2pi i mn/H)."""
+    m = np.arange(h)[:, None]
+    n = np.arange(h)[None, :]
+    ang = 2.0 * np.pi * m * n / h
+    scale = 1.0 / np.sqrt(h)
+    return (np.cos(ang) * scale).astype(np.float32), (
+        -np.sin(ang) * scale
+    ).astype(np.float32)
+
+
+def rfft2_matmul(x: Array) -> Tuple[Array, Array]:
+    """NHWC real input -> (real, imag) half-spectra, shape (N, H, K, C),
+    equal to jnp.fft.rfft2(x, axes=(1, 2), norm='ortho')."""
+    n, h, w, c = x.shape
+    wr, wi = _rdft_w_factors(w)
+    wr, wi = jnp.asarray(wr), jnp.asarray(wi)
+    x32 = x.astype(jnp.float32)
+    # W-axis real transform: (N, H, W, C) x (W, K) -> (N, H, K, C)
+    zr = jnp.einsum("nhwc,wk->nhkc", x32, wr)
+    zi = jnp.einsum("nhwc,wk->nhkc", x32, wi)
+    # H-axis complex transform
+    hr, hi = _dft_h_factors(h)
+    hr, hi = jnp.asarray(hr), jnp.asarray(hi)
+    out_r = jnp.einsum("mh,nhkc->nmkc", hr, zr) - jnp.einsum(
+        "mh,nhkc->nmkc", hi, zi
+    )
+    out_i = jnp.einsum("mh,nhkc->nmkc", hr, zi) + jnp.einsum(
+        "mh,nhkc->nmkc", hi, zr
+    )
+    return out_r, out_i
+
+
+def irfft2_matmul(z_re: Array, z_im: Array, s: Tuple[int, int]) -> Array:
+    """(real, imag) half-spectra (N, H, K, C) -> real NHWC, equal to
+    jnp.fft.irfft2(z, s=s, axes=(1, 2), norm='ortho')."""
+    h, w = s
+    # inverse H-axis complex transform (conjugate factors)
+    hr, hi = _dft_h_factors(h)
+    hr = jnp.asarray(hr)
+    hi = -jnp.asarray(hi)  # conjugate
+    tr = jnp.einsum("mh,nhkc->nmkc", hr, z_re) - jnp.einsum(
+        "mh,nhkc->nmkc", hi, z_im
+    )
+    ti = jnp.einsum("mh,nhkc->nmkc", hr, z_im) + jnp.einsum(
+        "mh,nhkc->nmkc", hi, z_re
+    )
+    # inverse W-axis with Hermitian fold
+    a, b = _irdft_w_factors(w)
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    return jnp.einsum("nmkc,kw->nmwc", tr, a) + jnp.einsum("nmkc,kw->nmwc", ti, b)

@@ -20,6 +20,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
 
+# Persistent compilation cache: the big GAN train-step graphs take minutes to
+# compile on the single host core; cached re-runs are near-instant.
+jax.config.update("jax_compilation_cache_dir", "/tmp/mtd_gan_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Training CLI — flag-compatible with the reference train.py (:22-67),
+TPU-native underneath (jitted train steps, data-parallel mesh instead of
+torch DataParallel, orbax checkpoints, jsonl logging).
+
+Example:
+  python train.py --dataset mayo --data-root /data/mayo \
+      --dataset-type-train window_patch --dataset-type-valid window \
+      --batch-size 20 --model MTD_GAN_Method --method pcgrad \
+      --optimizer adamw --scheduler poly_lr --epochs 500 --lr 1e-4 \
+      --checkpoint-dir ckpt/mtd --save-dir preds/mtd
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import random
+import time
+
+import numpy as np
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("MTD-GAN TPU train", add_help=False)
+    # dataset
+    p.add_argument("--dataset", default="mayo", type=str,
+                   help="mayo (abdomen window) or amc (brain window)")
+    p.add_argument("--data-root", default="", type=str,
+                   help="dataset root (replaces the reference's hard-coded globs)")
+    p.add_argument("--dataset-type-train", default="window_patch", type=str)
+    p.add_argument("--dataset-type-valid", default="window", type=str)
+    p.add_argument("--batch-size", default=20, type=int)
+    p.add_argument("--train-num-workers", default=4, type=int)
+    p.add_argument("--valid-num-workers", default=4, type=int)
+    # model
+    p.add_argument("--model", default="MTD_GAN_Method", type=str)
+    p.add_argument("--loss", default="L1 Loss", type=str)
+    p.add_argument("--method", default="", type=str,
+                   help="MTO method (pcgrad/cagrad/mgda/nashmtl/ls/...)")
+    # optimization
+    p.add_argument("--optimizer", default="adamw", type=str)
+    p.add_argument("--scheduler", default="poly_lr", type=str)
+    p.add_argument("--epochs", default=500, type=int)
+    p.add_argument("--warmup-epochs", default=10, type=int)
+    p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--min-lr", default=1e-5, type=float)
+    # parallel
+    p.add_argument("--multi-gpu-mode", default="Single",
+                   choices=["Single", "DataParallel"], type=str,
+                   help="DataParallel = shard batch over all local devices")
+    p.add_argument("--device", default="tpu", type=str)
+    # logging / checkpoints
+    p.add_argument("--print-freq", default=10, type=int)
+    p.add_argument("--save-checkpoint-every", default=1, type=int)
+    p.add_argument("--checkpoint-dir", default="checkpoints", type=str)
+    p.add_argument("--save-dir", default="predictions", type=str)
+    p.add_argument("--from-pretrained", default="", type=str)
+    p.add_argument("--resume", default="", type=str)
+    p.add_argument("--valid-every", default=1, type=int)
+    p.add_argument("--seed", default=2024, type=int)
+    p.add_argument("--memo", default="", type=str)
+    return p
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from mtd_gan_tpu.data.pipeline import PairedDicomDataset, eval_loader, train_loader
+    from mtd_gan_tpu.data.transforms import make_eval_preprocess, make_train_preprocess
+    from mtd_gan_tpu.engine.loops import (build_trainer, family_of,
+                                          train_one_epoch, validate)
+    from mtd_gan_tpu.models import get_model, param_count
+    from mtd_gan_tpu.optim import get_scheduler
+    from mtd_gan_tpu.parallel.mesh import make_mesh, shard_batch
+    from mtd_gan_tpu.utils.checkpoint import CheckpointManager
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+    rng = jax.random.PRNGKey(args.seed)
+
+    train_ds = PairedDicomDataset(args.data_root, "train")
+    valid_ds = PairedDicomDataset(args.data_root, "valid")
+    print(f"train slices: {len(train_ds)}, valid slices: {len(valid_ds)}")
+
+    train_pre = make_train_preprocess(args.dataset_type_train, args.dataset)
+    eval_pre = make_eval_preprocess(args.dataset_type_valid, args.dataset)
+
+    model = get_model(args.model)
+    family = family_of(args.model)
+
+    mesh = make_mesh() if args.multi_gpu_mode == "DataParallel" else None
+    trainer = build_trainer(args.model, model, args, mesh=mesh)
+    state = trainer.create_state(rng)
+    n_params = sum(
+        param_count(p) for p in
+        [getattr(state, a) for a in
+         ("params", "params_g", "params_d", "params_img_d", "params_grad_d")
+         if hasattr(state, a)]
+    )
+    print(f"Number of Learnable Params: {n_params}")
+
+    sched = get_scheduler(args.scheduler, args.lr, args.epochs,
+                          args.warmup_epochs, args.min_lr)
+    ckpt = CheckpointManager(os.path.join(args.checkpoint_dir, "orbax"))
+    os.makedirs(args.save_dir, exist_ok=True)
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+
+    start_epoch = 0
+    if args.resume:
+        start_epoch, state = ckpt.restore(state)
+        start_epoch += 1
+        print(f"resumed from epoch {start_epoch - 1}")
+    # dump args snapshot (reference train.py:330-337)
+    stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+    os.makedirs(os.path.join(args.checkpoint_dir, "args"), exist_ok=True)
+    with open(os.path.join(args.checkpoint_dir, "args",
+                           f"args_{stamp}.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    log_path = os.path.join(args.checkpoint_dir, "log.txt")
+    for epoch in range(start_epoch, args.epochs):
+        state = trainer.set_epoch_lr(state, sched(epoch))
+        loader = train_loader(train_ds, args.batch_size, seed=args.seed + epoch,
+                              num_threads=args.train_num_workers)
+        rng, r_epoch = jax.random.split(rng)
+        state, train_stats, rng = train_one_epoch(
+            trainer, state, loader, train_pre, r_epoch, epoch,
+            args.print_freq, header=f"Train: [{epoch}]")
+
+        stats = {"epoch": epoch, "lr": sched(epoch),
+                 **{f"train_{k}": v for k, v in train_stats.items()}}
+        if epoch % args.valid_every == 0:
+            valid_stats = validate(
+                model, state, eval_loader(valid_ds), eval_pre, family,
+                epoch, save_dir=os.path.join(args.save_dir, "valid"), rng=rng)
+            stats.update({f"valid_{k}": v for k, v in valid_stats.items()})
+
+        with open(log_path, "a") as f:
+            f.write(json.dumps(stats) + "\n")
+        print(json.dumps(stats))
+
+        if epoch % args.save_checkpoint_every == 0:
+            ckpt.save(epoch, state, extra={"args": vars(args)})
+
+    ckpt.close()
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser("MTD-GAN TPU train", parents=[get_args_parser()])
+    args = parser.parse_args()
+    start = time.time()
+    main(args)
+    print(f"total time: {datetime.timedelta(seconds=int(time.time() - start))}")
