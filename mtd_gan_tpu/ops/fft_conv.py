@@ -5,11 +5,12 @@ Semantics (reference arch/Ours/networks.py:15-36):
 with orthonormal FFT normalization and ReLU applied to the stacked
 real/imag channels between the 1x1 conv and the inverse transform.
 
-TPU mapping: the 1x1 conv over 2C stacked spectral channels is a single
-(H * W_half, 2C) @ (2C, 2C) matmul — pure MXU work; rfft2/irfft2 lower to
-XLA FFT ops. XLA fuses the residual mixing into the surrounding elementwise
-graph. A Pallas-fused variant (spectral matmul + ReLU in VMEM between the
-transforms) lives in mtd_gan_tpu.ops.pallas_fftconv.
+TPU mapping: on TPU the transforms run as dense DFT factor matmuls
+(mtd_gan_tpu.ops.dft) — measured 3.9x faster than XLA's generic TPU FFT
+lowering for the 512x512x(4x32) workload AND far more accurate (XLA's TPU
+FFT round-trips at ~4e-1 max abs error; the tf32 DFT-matmul at ~6e-5, fp32
+at ~6e-7). The spectral 1x1 conv is a plain channel matmul; XLA fuses the
+ReLU and residual mixing around the MXU ops. On CPU/GPU jnp.fft is used.
 """
 
 from __future__ import annotations
@@ -20,9 +21,18 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from mtd_gan_tpu.ops import dft
 from mtd_gan_tpu.ops.layers import Conv, normal_init
 
 Array = jax.Array
+
+# DFT precision on TPU: 'tensorfloat32' (bf16x3 passes) keeps ~6e-5 accuracy
+# at half the fp32-matmul cost; override to 'float32' for exact parity runs.
+DFT_MATMUL_PRECISION = "tensorfloat32"
+
+
+def _use_dft_matmul() -> bool:
+    return jax.default_backend() == "tpu"
 
 
 def fft_conv_block(
@@ -44,8 +54,21 @@ def fft_conv_block(
     n, h, w, c = x.shape
     orig_dtype = x.dtype
 
-    # --- spectral branch (fp32: XLA FFT is fp32/complex64) ---
-    xf = jnp.fft.rfft2(x.astype(jnp.float32), s=(h, w), axes=(1, 2), norm="ortho")
+    # --- spectral branch (fp32 values; transform backend-dependent) ---
+    x32 = x.astype(jnp.float32)
+    if _use_dft_matmul():
+        with jax.default_matmul_precision(DFT_MATMUL_PRECISION):
+            zr, zi = dft.rfft2_matmul(x32)
+            spec = jnp.concatenate([zr, zi], axis=-1)  # (N, H, W//2+1, 2C)
+            spec = spec @ fft_kernel.astype(jnp.float32) + fft_bias.astype(
+                jnp.float32
+            )
+            spec = jax.nn.relu(spec)
+            re, im = jnp.split(spec, 2, axis=-1)
+            fft_out = dft.irfft2_matmul(re, im, (h, w)).astype(orig_dtype)
+        return _finish_block(x, fft_out, img_kernel, img_bias, orig_dtype)
+
+    xf = jnp.fft.rfft2(x32, s=(h, w), axes=(1, 2), norm="ortho")
     spec = jnp.concatenate([xf.real, xf.imag], axis=-1)  # (N, H, W//2+1, 2C)
     spec = spec @ fft_kernel.astype(jnp.float32) + fft_bias.astype(jnp.float32)
     spec = jax.nn.relu(spec)
@@ -53,8 +76,12 @@ def fft_conv_block(
     fft_out = jnp.fft.irfft2(
         jax.lax.complex(re, im), s=(h, w), axes=(1, 2), norm="ortho"
     ).astype(orig_dtype)
+    return _finish_block(x, fft_out, img_kernel, img_bias, orig_dtype)
 
-    # --- spatial branch ---
+
+def _finish_block(x: Array, fft_out: Array, img_kernel: Array,
+                  img_bias: Array, orig_dtype) -> Array:
+    # --- spatial branch + residual mixing ---
     img = jax.lax.conv_general_dilated(
         x,
         img_kernel.astype(orig_dtype),
@@ -63,7 +90,6 @@ def fft_conv_block(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     img = jax.nn.relu(img + img_bias.astype(orig_dtype))
-
     return x + img + fft_out
 
 

@@ -68,6 +68,31 @@ def _device_memory_mb() -> Optional[float]:
     return None
 
 
+class TensorBoardSink:
+    """Per-epoch scalar dump to {checkpoint_dir}/runs (reference
+    train.py:176-177,191-262); no-ops when tensorboardX is unavailable."""
+
+    def __init__(self, log_dir: str):
+        try:
+            from tensorboardX import SummaryWriter
+
+            self._writer = SummaryWriter(log_dir)
+        except Exception:
+            self._writer = None
+
+    def scalars(self, stats: Dict[str, float], step: int):
+        if self._writer is None:
+            return
+        for k, v in stats.items():
+            if isinstance(v, (int, float)):
+                self._writer.add_scalar(k, v, step)
+        self._writer.flush()
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.close()
+
+
 class MetricLogger:
     def __init__(self, delimiter: str = "  "):
         self.meters: Dict[str, SmoothedValue] = defaultdict(SmoothedValue)

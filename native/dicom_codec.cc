@@ -11,6 +11,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC dicom_codec.cc -o libdicom_codec.so
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <cstdio>
 

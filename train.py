@@ -77,6 +77,7 @@ def main(args):
     from mtd_gan_tpu.optim import get_scheduler
     from mtd_gan_tpu.parallel.mesh import make_mesh, shard_batch
     from mtd_gan_tpu.utils.checkpoint import CheckpointManager
+    from mtd_gan_tpu.utils.logging import TensorBoardSink
 
     random.seed(args.seed)
     np.random.seed(args.seed)
@@ -122,6 +123,7 @@ def main(args):
         json.dump(vars(args), f, indent=2)
 
     log_path = os.path.join(args.checkpoint_dir, "log.txt")
+    tb = TensorBoardSink(os.path.join(args.checkpoint_dir, "runs"))
     for epoch in range(start_epoch, args.epochs):
         state = trainer.set_epoch_lr(state, sched(epoch))
         loader = train_loader(train_ds, args.batch_size, seed=args.seed + epoch,
@@ -141,11 +143,13 @@ def main(args):
 
         with open(log_path, "a") as f:
             f.write(json.dumps(stats) + "\n")
+        tb.scalars(stats, epoch)
         print(json.dumps(stats))
 
         if epoch % args.save_checkpoint_every == 0:
             ckpt.save(epoch, state, extra={"args": vars(args)})
 
+    tb.close()
     ckpt.close()
 
 
