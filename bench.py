@@ -37,14 +37,15 @@ def main():
     def fwd(inp):
         return model.Generator.apply({"params": params}, inp)
 
-    # warmup / compile
-    jax.block_until_ready(fwd(x))
+    # warmup / compile (hard sync via host fetch — block_until_ready can
+    # report early through the axon tunnel)
+    float(jnp.sum(fwd(x)))
 
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = fwd(x)
-    jax.block_until_ready(out)
+    float(jnp.sum(out))  # drains the serial execution queue
     dt = time.perf_counter() - t0
 
     slices_per_sec = batch * n_iters / dt

@@ -66,7 +66,9 @@ def build_trainer(model_name: str, model, args, mesh=None):
         return DUGANTrainer(model, **kw)
     if fam == "mtd":
         method = getattr(args, "method", "") or None
-        if getattr(model, "n_d_tasks", 1) > 1 and method:
+        if getattr(model, "n_d_tasks", 1) > 1:
+            # stacked d_loss: MTO surgery when a method is set, else the
+            # plain summed backward (reference engine.py:57-74)
             return MTDGANTrainer(model, method=method, **kw)
         return AdversarialTrainer(model, n_critic=1, **kw)
     raise KeyError(fam)
@@ -79,8 +81,12 @@ def train_one_epoch(trainer, state, loader, preprocess, rng, epoch: int,
         rng, r_pre = jax.random.split(rng)
         x, y = preprocess(r_pre, jnp.asarray(hu_x), jnp.asarray(hu_y))
         state, metrics = trainer.train_step(state, x, y)
-        logger.update(**{k: float(v) for k, v in metrics.items()
-                         if np.ndim(v) == 0})
+        scalars = {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0}
+        # non-finite guard (reference engine.py:208-209 warns and continues)
+        bad = [k for k, v in scalars.items() if not np.isfinite(v)]
+        if bad:
+            print(f"WARNING: non-finite metrics at step {i}: {bad}", flush=True)
+        logger.update(**scalars)
     return state, logger.global_averages(), rng
 
 

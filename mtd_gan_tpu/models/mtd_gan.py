@@ -214,6 +214,7 @@ class MTDGANModel:
         disc_features: int = 64,
         num_layers: int = 10,
         dtype=None,
+        remat: bool = True,
     ):
         self.Generator = ResFFTGenerator(
             in_channels=1, features=gen_features, num_layers=num_layers,
@@ -222,6 +223,11 @@ class MTDGANModel:
         self.Discriminator = MultiTaskDiscriminator(
             in_channels=1, features=disc_features, dtype=dtype
         )
+        # rematerialize D/G forwards in the backward pass: the 3-task vjp
+        # otherwise stores every D activation x3 tasks and OOMs a 16GB chip
+        # at the reference batch (20 slices x 8 crops); ~30% extra FLOPs for
+        # a ~3x activation-memory cut (jax.checkpoint / SURVEY.md TPU notes)
+        self.remat = remat
 
     # ---- init ----
     def init(self, rng, patch_shape=(1, 64, 64, 1)) -> GANVariables:
@@ -245,14 +251,19 @@ class MTDGANModel:
         return self.Generator.apply({"params": params_g}, x)
 
     def _apply_d(self, params_d, spectral, x, rng, train):
-        out, mutated = self.Discriminator.apply(
-            {"params": params_d, "spectral": spectral},
-            x,
-            train=train,
-            update_stats=train,
-            rngs={"dropout": rng} if train else None,
-            mutable=["spectral"],
-        )
+        def fn(pd, sp, z):
+            return self.Discriminator.apply(
+                {"params": pd, "spectral": sp},
+                z,
+                train=train,
+                update_stats=train,
+                rngs={"dropout": rng} if train else None,
+                mutable=["spectral"],
+            )
+
+        if self.remat and train:
+            fn = jax.checkpoint(fn)
+        out, mutated = fn(params_d, spectral, x)
         return out, mutated["spectral"]
 
     # ---- losses ----
@@ -299,7 +310,12 @@ class MTDGANModel:
         return jnp.stack([disc_loss, rec_loss, consist_loss]), (sp, details)
 
     def g_loss(self, params_g, params_d, state_d, rng, x, y, train=True):
-        fake = self.generate(params_g, x)
+        gen_fn = (
+            jax.checkpoint(lambda pg, z: self.Generator.apply({"params": pg}, z))
+            if (self.remat and train)
+            else self.generate
+        )
+        fake = gen_fn(params_g, x)
         (gen_enc, gen_dec, _), sp = self._apply_d(params_d, state_d, fake, rng, train)
 
         adv_enc = losses.ls_gan(gen_enc, 1.0)
@@ -322,3 +338,25 @@ class MTDGANModel:
     @staticmethod
     def d_last_shared_label(path):
         return d_last_shared_label(path)
+
+    # ---- full-image D inference ----
+    def discriminate_full(self, params_d, state_d, x: Array,
+                          overlap: float = 0.5, mode: str = "gaussian",
+                          sw_batch_size: int = 64, mesh=None):
+        """Run the 64x64-contract discriminator over full-size slices via the
+        multi-output sliding window (reference capability target,
+        module/sliding_window.py:25-786): returns (cls, seg, rec) with CLS
+        averaged over tiles and SEG/REC blended to full size."""
+        from mtd_gan_tpu.ops.sliding_window import sliding_window_inference
+
+        def predictor(tiles):
+            out, _ = self.Discriminator.apply(
+                {"params": params_d, "spectral": state_d},
+                tiles, train=False, update_stats=False, mutable=["spectral"],
+            )
+            return out
+
+        return sliding_window_inference(
+            x, (64, 64), predictor, sw_batch_size=sw_batch_size,
+            overlap=overlap, mode=mode, mesh=mesh,
+        )

@@ -75,6 +75,7 @@ def sliding_window_inference(
     overlap: float = 0.25,
     mode: str = "constant",
     sigma_scale: float = 0.125,
+    mesh=None,
 ):
     """Tiled inference over NHWC `inputs`.
 
@@ -110,16 +111,34 @@ def sliding_window_inference(
     tiles = jax.vmap(lambda img: jax.vmap(partial(gather_one, img))(coords))(inputs)
     tiles = tiles.reshape(n * t, rh, rw, c)
 
-    # ---- predict in sw_batch chunks under lax.map (single compiled body) ----
+    # ---- predict in sw_batch chunks under lax.map (single compiled body);
+    # with a mesh, the tile batch is sharded over the 'data' axis instead
+    # (the spatial analogue of sequence parallelism — SURVEY.md §2.9) ----
     total = tiles.shape[0]
-    n_chunks = -(-total // sw_batch_size)
-    padded = n_chunks * sw_batch_size
-    if padded != total:
-        tiles = jnp.concatenate(
-            [tiles, jnp.zeros((padded - total, rh, rw, c), tiles.dtype)]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        padded = -(-total // n_dev) * n_dev
+        if padded != total:
+            tiles = jnp.concatenate(
+                [tiles, jnp.zeros((padded - total, rh, rw, c), tiles.dtype)]
+            )
+        tiles = jax.lax.with_sharding_constraint(
+            tiles, NamedSharding(mesh, P("data"))
         )
-    chunks = tiles.reshape(n_chunks, sw_batch_size, rh, rw, c)
-    preds = jax.lax.map(predictor, chunks)
+        preds = predictor(tiles)
+        n_chunks, sw_batch_size = 1, padded
+        preds = jax.tree_util.tree_map(lambda p: p[None], preds)
+    else:
+        n_chunks = -(-total // sw_batch_size)
+        padded = n_chunks * sw_batch_size
+        if padded != total:
+            tiles = jnp.concatenate(
+                [tiles, jnp.zeros((padded - total, rh, rw, c), tiles.dtype)]
+            )
+        chunks = tiles.reshape(n_chunks, sw_batch_size, rh, rw, c)
+        preds = jax.lax.map(predictor, chunks)
 
     is_tuple = isinstance(preds, (tuple, list))
     preds_list = list(preds) if is_tuple else [preds]

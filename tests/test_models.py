@@ -92,3 +92,16 @@ def test_d_param_partition(rng):
     assert counts["shared"] > 0 and counts["task"] > 0
     # only c_fc (kernel + bias) is unassigned
     assert counts["unassigned"] == 2
+
+
+def test_discriminator_full_image_inference(rng):
+    """Multi-output sliding-window D inference on a 128x128 slice."""
+    model = MTDGANModel(gen_features=4, disc_features=4, num_layers=1)
+    gv = model.init(rng)
+    x = jax.random.uniform(rng, (1, 128, 128, 1))
+    cls, seg, rec = model.discriminate_full(gv.params_d, gv.state_d, x,
+                                            sw_batch_size=8)
+    assert cls.shape == (1, 1)
+    assert seg.shape == (1, 128, 128, 1)
+    assert rec.shape == (1, 128, 128, 1)
+    assert bool(jnp.all(jnp.isfinite(seg)))

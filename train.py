@@ -111,6 +111,17 @@ def main(args):
     os.makedirs(args.checkpoint_dir, exist_ok=True)
 
     start_epoch = 0
+    if args.from_pretrained:
+        # params-only warm start (reference --from-pretrained)
+        src = CheckpointManager(args.from_pretrained)
+        _, pre_state = src.restore(state)
+        param_attrs = [a for a in ("params", "params_g", "params_d",
+                                   "params_img_d", "params_grad_d", "state_d",
+                                   "state_img_d", "state_grad_d")
+                       if hasattr(state, a)]
+        state = state.replace(**{a: getattr(pre_state, a) for a in param_attrs})
+        src.close()
+        print(f"warm-started params from {args.from_pretrained}")
     if args.resume:
         start_epoch, state = ckpt.restore(state)
         start_epoch += 1
