@@ -12,6 +12,12 @@ all with 'ortho' normalization folded into the factors. Numerics match
 jnp.fft.rfft2/irfft2 to ~1e-5 in fp32 (validated in tests/test_dft.py).
 Complex arithmetic is spelled out in real/imag parts so XLA sees plain
 fp32 matmuls (TPU fp32 matmul = bf16x3 passes, ~1e-6 accurate).
+
+Same insight as FlashFFTConv (arXiv:2311.05908): on matrix-unit hardware,
+FFTs decomposed into dense matmul stages beat generic FFT lowerings. At
+N=512 the single-stage dense DFT already fills the 128-wide MXU (any
+Cooley-Tukey split would leave a sub-128 contraction), so one factor
+matmul per axis is the right depth here.
 """
 
 from __future__ import annotations

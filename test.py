@@ -41,6 +41,8 @@ def get_args_parser():
     p.add_argument("--no-feature-metrics", action="store_true",
                    help="skip PL/TML/FID (no pretrained weights scenario)")
     p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--model-kwargs", default="", type=str,
+                   help='JSON kwargs for the model ctor (e.g. \'{"out_ch": 8}\')')
     p.add_argument("--memo", default="", type=str)
     return p
 
@@ -62,7 +64,7 @@ def main(args):
     print(f"test slices: {len(ds)}")
     eval_pre = make_eval_preprocess(args.dataset_type_test, args.dataset)
 
-    model = get_model(args.model)
+    model = get_model(args.model, **json.loads(args.model_kwargs or "{}"))
     family = family_of(args.model)
     trainer = build_trainer(args.model, model, args)
     state = trainer.create_state(rng)

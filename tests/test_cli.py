@@ -1,0 +1,87 @@
+"""End-to-end CLI tests on the CPU backend: train one tiny epoch, resume,
+then run the test sweep — the full user workflow on synthetic DICOMs."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mtd_gan_tpu.data.dicom import write_synthetic_dicom
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[:128, :128]
+    disk = ((yy - 64) ** 2 + (xx - 64) ** 2) < 45**2
+    hu = np.full((128, 128), -1000, np.int16)
+    hu[disk] = 40
+    stored = (hu.astype(np.int32) + 1024).astype(np.uint16)
+    for split, n in [("train", 4), ("valid", 1), ("test", 2)]:
+        for i in range(n):
+            noisy = np.clip(
+                stored + rng.normal(0, 25, stored.shape), 0, 4095
+            ).astype(np.uint16)
+            write_synthetic_dicom(
+                str(root / split / "L067" / "n_100" / f"{i:04d}.dcm"), stored)
+            write_synthetic_dicom(
+                str(root / split / "L067" / "n_20" / f"{i:04d}.dcm"), noisy)
+    return str(root)
+
+
+def _train_args(root, tmp, extra=()):
+    import train as train_cli
+
+    parser = __import__("argparse").ArgumentParser(
+        parents=[train_cli.get_args_parser()])
+    return parser.parse_args([
+        "--data-root", root, "--model", "RED_CNN",
+        "--model-kwargs", '{"out_ch": 8}',
+        "--dataset-type-train", "window_patch",
+        "--dataset-type-valid", "window",
+        "--batch-size", "2", "--epochs", "1", "--warmup-epochs", "1",
+        "--lr", "1e-3", "--train-num-workers", "1",
+        "--checkpoint-dir", os.path.join(tmp, "ckpt"),
+        "--save-dir", os.path.join(tmp, "preds"),
+        "--print-freq", "1", *extra,
+    ])
+
+
+def test_train_and_test_cli_end_to_end(synth_root, tmp_path):
+    import test as test_cli
+    import train as train_cli
+
+    tmp = str(tmp_path)
+    train_cli.main(_train_args(synth_root, tmp))
+    # artifacts
+    assert os.path.exists(os.path.join(tmp, "ckpt", "log.txt"))
+    assert os.path.exists(os.path.join(tmp, "preds", "valid", "epoch_0_pred.png"))
+    with open(os.path.join(tmp, "ckpt", "log.txt")) as f:
+        stats = json.loads(f.readline())
+    assert np.isfinite(stats["train_loss"]) and "valid_loss" in stats
+
+    # resume one more epoch
+    args = _train_args(synth_root, tmp, extra=("--resume", "latest",
+                                               "--epochs", "2"))
+    train_cli.main(args)
+    with open(os.path.join(tmp, "ckpt", "log.txt")) as f:
+        lines = f.readlines()
+    assert json.loads(lines[-1])["epoch"] == 1
+
+    # test sweep from the checkpoint
+    parser = __import__("argparse").ArgumentParser(
+        parents=[test_cli.get_args_parser()])
+    targs = parser.parse_args([
+        "--data-root", synth_root, "--model", "RED_CNN",
+        "--model-kwargs", '{"out_ch": 8}',
+        "--checkpoint-dir", os.path.join(tmp, "ckpt"),
+        "--save-dir", os.path.join(tmp, "preds", "test"),
+        "--no-feature-metrics",
+    ])
+    test_cli.main(targs)
+    assert os.path.exists(os.path.join(tmp, "preds", "test", "pred_results.csv"))
+    with open(os.path.join(tmp, "preds", "test", "test_log.txt")) as f:
+        line = json.loads(f.readline())
+    assert line["gt_psnr"] == pytest.approx(100.0, abs=1e-3)

@@ -98,3 +98,19 @@ def test_mtd_family_trainer_dispatch(rng, np_rng):
                                     num_layers=1)
     trainer3 = build_trainer("Ablation_CLS", abl, _Args())
     assert isinstance(trainer3, AdversarialTrainer) and trainer3.n_critic == 1
+
+
+def test_tr_family_sliding_window_eval(rng, np_rng, tmp_path):
+    """CTformer eval reconstructs full slices via the on-device tiler
+    (reference engine.py:345: roi 64, overlap 0.3)."""
+    from mtd_gan_tpu.models.ctformer import CTformerModel
+
+    model = CTformerModel()  # 64x64 contract, tiny depth already
+    trainer = build_trainer("CTformer", model, _Args())
+    state = trainer.create_state(rng)
+    eval_pre = make_eval_preprocess("window", "mayo")
+    hu_x, hu_y = _hu_batch(np_rng, n=1)
+    vstats = validate(model, state, [(hu_x, hu_y)], eval_pre, "tr", 0,
+                      save_dir=str(tmp_path), tr_sw_batch=8)
+    assert np.isfinite(vstats["loss"])
+    assert os.path.exists(tmp_path / "epoch_0_pred.png")

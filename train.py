@@ -61,6 +61,10 @@ def get_args_parser():
     p.add_argument("--resume", default="", type=str)
     p.add_argument("--valid-every", default=1, type=int)
     p.add_argument("--seed", default=2024, type=int)
+    p.add_argument("--model-kwargs", default="", type=str,
+                   help='JSON kwargs for the model ctor (e.g. \'{"out_ch": 8}\')')
+    p.add_argument("--profile-dir", default="", type=str,
+                   help="capture a jax.profiler trace of the first epoch")
     p.add_argument("--memo", default="", type=str)
     return p
 
@@ -90,7 +94,7 @@ def main(args):
     train_pre = make_train_preprocess(args.dataset_type_train, args.dataset)
     eval_pre = make_eval_preprocess(args.dataset_type_valid, args.dataset)
 
-    model = get_model(args.model)
+    model = get_model(args.model, **json.loads(args.model_kwargs or "{}"))
     family = family_of(args.model)
 
     mesh = make_mesh() if args.multi_gpu_mode == "DataParallel" else None
@@ -140,9 +144,12 @@ def main(args):
         loader = train_loader(train_ds, args.batch_size, seed=args.seed + epoch,
                               num_threads=args.train_num_workers)
         rng, r_epoch = jax.random.split(rng)
-        state, train_stats, rng = train_one_epoch(
-            trainer, state, loader, train_pre, r_epoch, epoch,
-            args.print_freq, header=f"Train: [{epoch}]")
+        from mtd_gan_tpu.utils.profiling import trace as profiler_trace
+
+        with profiler_trace(args.profile_dir if epoch == start_epoch else None):
+            state, train_stats, rng = train_one_epoch(
+                trainer, state, loader, train_pre, r_epoch, epoch,
+                args.print_freq, header=f"Train: [{epoch}]")
 
         stats = {"epoch": epoch, "lr": sched(epoch),
                  **{f"train_{k}": v for k, v in train_stats.items()}}
