@@ -103,3 +103,15 @@ def test_mtd_gan_dp_mesh(rng):
     assert np.isfinite(float(metrics["d_loss"]))
     leaf = jax.tree_util.tree_leaves(state.params_g)[0]
     assert len(leaf.sharding.device_set) == 4
+
+
+@pytest.mark.parametrize("method", ["cagrad", "mgda", "nashmtl", "imtl", "dwa"])
+def test_mtd_gan_trainer_all_solver_methods(rng, method):
+    """One real train step through each Gram-matrix-solver MTO method."""
+    model = MTDGANModel(gen_features=4, disc_features=4, num_layers=1)
+    trainer = MTDGANTrainer(model, method=method, lr=1e-4)
+    state = trainer.create_state(rng)
+    x, y = _toy_batch(rng, n=1)
+    state, metrics = trainer.train_step(state, x, y)
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))

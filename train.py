@@ -154,9 +154,12 @@ def main(args):
         stats = {"epoch": epoch, "lr": sched(epoch),
                  **{f"train_{k}": v for k, v in train_stats.items()}}
         if epoch % args.valid_every == 0:
+            from mtd_gan_tpu.losses import get_loss
+
             valid_stats = validate(
                 model, state, eval_loader(valid_ds), eval_pre, family,
-                epoch, save_dir=os.path.join(args.save_dir, "valid"), rng=rng)
+                epoch, save_dir=os.path.join(args.save_dir, "valid"),
+                criterion=get_loss(args.loss), rng=rng)
             stats.update({f"valid_{k}": v for k, v in valid_stats.items()})
 
         with open(log_path, "a") as f:
