@@ -108,3 +108,12 @@ def test_paired_dataset_and_loaders(tmp_path, phantom):
     x, y, paths = evals[0]
     assert x.shape == (1, 128, 128, 1) and len(paths) == 1
     assert paths[0].endswith("0000.dcm")
+
+
+def test_brain_window_preset(rng, phantom):
+    """'amc' dataset -> brain window [0, 80] HU (reference Sinogram.py:103)."""
+    pre = T.make_eval_preprocess("window", "amc")
+    hu = jnp.asarray([[[-10.0], [0.0], [40.0], [80.0], [200.0]]])[None]
+    x, _ = pre(hu.astype(jnp.int16), hu.astype(jnp.int16))
+    np.testing.assert_allclose(
+        np.asarray(x[0, 0, :, 0]), [0.0, 0.0, 0.5, 1.0, 1.0], atol=1e-6)

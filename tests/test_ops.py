@@ -139,3 +139,15 @@ def test_gauss_blur_preserves_mean_interior():
     x = jnp.ones((1, 16, 16, 1), jnp.float32)
     out = gauss_blur5(x)
     np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-5)
+
+
+def test_spectral_norm_eval_mode_freezes_u(np_rng):
+    """update_stats=False must not change the stored power-iteration vector."""
+    x = jnp.asarray(np_rng.standard_normal((1, 8, 8, 3)).astype(np.float32))
+    layer = Conv(4, kernel_size=(3, 3), padding=1, spectral_norm=True)
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    out, mutated = layer.apply(variables, x, update_stats=False,
+                               mutable=["spectral"])
+    np.testing.assert_array_equal(
+        np.asarray(variables["spectral"]["u"]),
+        np.asarray(mutated["spectral"]["u"]))
