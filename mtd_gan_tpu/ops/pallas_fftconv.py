@@ -11,14 +11,19 @@ norm, Hermitian-fold inverse), so outputs match jnp.fft to fp32 tolerance
 (validated in tests/test_pallas_fftconv.py, interpret mode on CPU).
 
 STATUS: numerically validated in interpret mode; on-device Mosaic lowering
-currently rejects the (H*C, K) -> (H, C*K) lane-crossing reshape between
-the W- and H-axis contractions ("tpu.reshape vector<2048x33> ->
-vector<64x1056>"). Production TPU execution therefore uses the XLA
-einsum DFT path (ops.dft), which the compiler schedules to within ~40% of
-the MXU tf32 roofline; re-landing this kernel with a lane-preserving
-layout (K padded to a lane multiple + tpu.transpose staging) is tracked
-for the next round. Full-resolution (512x512) inference keeps the XLA
-path regardless — that working set exceeds VMEM.
+blocked (axon jaxlib 0.9 toolchain) by, in order tried:
+  1. lane-crossing reshape (H*C, K) -> (H, C*K) between the W/H
+     contractions ("tpu.reshape vector<2048x33> -> vector<64x1056>");
+  2. dynamic_slice inside fori_loop channel loops (unimplemented for
+     TC kernels);
+  3. static-unrolled per-channel dots with jnp.stack staging (remote
+     compiler INTERNAL error — the stack+reshape still crosses lanes).
+Production TPU execution therefore uses the XLA einsum DFT path
+(ops.dft), which the compiler schedules to within ~40% of the MXU tf32
+roofline. Round-2 plan: K padded to a lane multiple, channel mix applied
+as per-output plane combinations (pure VPU, no reshape), or a newer
+Mosaic with relayout support. Full-resolution (512x512) inference keeps
+the XLA path regardless — that working set exceeds VMEM.
 """
 
 from __future__ import annotations
