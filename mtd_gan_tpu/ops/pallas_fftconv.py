@@ -10,20 +10,24 @@ The transforms are the DFT factor matmuls of mtd_gan_tpu.ops.dft (ortho
 norm, Hermitian-fold inverse), so outputs match jnp.fft to fp32 tolerance
 (validated in tests/test_pallas_fftconv.py, interpret mode on CPU).
 
-STATUS: numerically validated in interpret mode; on-device Mosaic lowering
-blocked (axon jaxlib 0.9 toolchain) by, in order tried:
-  1. lane-crossing reshape (H*C, K) -> (H, C*K) between the W/H
-     contractions ("tpu.reshape vector<2048x33> -> vector<64x1056>");
-  2. dynamic_slice inside fori_loop channel loops (unimplemented for
-     TC kernels);
-  3. static-unrolled per-channel dots with jnp.stack staging (remote
-     compiler INTERNAL error — the stack+reshape still crosses lanes).
+STATUS: numerically validated in interpret mode. On-device findings
+(axon jaxlib 0.9 toolchain, fully bisected):
+  * a reshape-free variant (static per-channel dots + the channel mix as
+    plane combinations) COMPILES AND RUNS on-device at full C=32 — but
+    only at default (bf16) dot precision: max err 8.8e-3 vs the tf32
+    reference, too lossy for the production DFT;
+  * adding `precision=` to any in-kernel dot (or a 9th (1, 2C) bias
+    operand) reproducibly crashes the remote compile helper (HTTP 500,
+    no diagnostics);
+  * blocked lowerings, in order tried: lane-crossing reshape
+    (H*C, K)->(H, C*K); dynamic_slice in fori_loop bodies (TC kernels);
+    jnp.stack staging; 3-D dot_general for the channel mix.
 Production TPU execution therefore uses the XLA einsum DFT path
-(ops.dft), which the compiler schedules to within ~40% of the MXU tf32
-roofline. Round-2 plan: K padded to a lane multiple, channel mix applied
-as per-output plane combinations (pure VPU, no reshape), or a newer
-Mosaic with relayout support. Full-resolution (512x512) inference keeps
-the XLA path regardless — that working set exceeds VMEM.
+(ops.dft): 5.2 ms for the spectral branch at the training shape
+(160x64x64x32), within ~40% of the MXU tf32 roofline. Round-2 plan:
+precision-controlled dots via explicit split-operand tf32 emulation
+inside the kernel, or a newer Mosaic. Full-resolution (512x512)
+inference keeps the XLA path regardless — that working set exceeds VMEM.
 """
 
 from __future__ import annotations
