@@ -22,12 +22,16 @@ STATUS: numerically validated in interpret mode. On-device findings
   * blocked lowerings, in order tried: lane-crossing reshape
     (H*C, K)->(H, C*K); dynamic_slice in fori_loop bodies (TC kernels);
     jnp.stack staging; 3-D dot_general for the channel mix.
+  * split-operand tf32 emulation (3 default-precision dots per matmul,
+    384 in-kernel dots) also crashes the remote compiler — the working
+    configuration tops out around the 128-dot bf16 kernel.
 Production TPU execution therefore uses the XLA einsum DFT path
 (ops.dft): 5.2 ms for the spectral branch at the training shape
 (160x64x64x32), within ~40% of the MXU tf32 roofline. Round-2 plan:
-precision-controlled dots via explicit split-operand tf32 emulation
-inside the kernel, or a newer Mosaic. Full-resolution (512x512)
-inference keeps the XLA path regardless — that working set exceeds VMEM.
+split the kernel into per-stage pallas_calls (under the dot budget each)
+or move to a toolchain whose Mosaic accepts precision-controlled dots.
+Full-resolution (512x512) inference keeps the XLA path regardless — that
+working set exceeds VMEM.
 """
 
 from __future__ import annotations
