@@ -114,3 +114,21 @@ def test_tr_family_sliding_window_eval(rng, np_rng, tmp_path):
                       save_dir=str(tmp_path), tr_sw_batch=8)
     assert np.isfinite(vstats["loss"])
     assert os.path.exists(tmp_path / "epoch_0_pred.png")
+
+
+def test_run_test_with_feature_metrics(rng, np_rng, tmp_path):
+    """PL/TML/FID columns in the sweep (256px so TML's deepest VGG slice
+    still fits a 16x16 patch grid)."""
+    model = REDCNNModel(out_ch=8)
+    trainer = build_trainer("RED_CNN", model, _Args())
+    state = trainer.create_state(rng)
+    eval_pre = make_eval_preprocess("window", "mayo")
+    hu_x, hu_y = _hu_batch(np_rng, n=1, size=256)
+    loader = [(hu_x, hu_y, ["/fake/a.IMA"]), (hu_x, hu_y, ["/fake/b.IMA"])]
+    summary = run_test(model, state, loader, eval_pre, "cnn",
+                       save_dir=str(tmp_path), compute_fid_metric=True,
+                       compute_feature_metrics=True)
+    assert summary["gt_pl"] == 0.0 and summary["gt_tml"] == 0.0
+    assert summary["gt_fid"] < 1e-6
+    for k in ("pred_pl", "pred_tml", "pred_fid", "input_pl"):
+        assert np.isfinite(summary[k]), k
