@@ -57,11 +57,13 @@ class MTDGANTrainer:
         self.model = model
         self.base_lr = lr
         self.mesh = mesh
+        self.method_lr = method_lr
         self.tx_g = optim_lib.get_optimizer(optimizer, lr, weight_decay)
         self.tx_d = optim_lib.get_optimizer(optimizer, lr, weight_decay)
-        # second AdamW param group for learnable method params (train.py:122-124)
-        self.tx_mto = optax.adamw(method_lr, b1=0.9, b2=0.999, eps=1e-8,
-                                  weight_decay=5e-4)
+        # second AdamW param group for learnable method params
+        # (train.py:122-124); the LR schedule scales it too, like the
+        # reference's shared scheduler over both param groups
+        self.tx_mto = optim_lib.get_optimizer("adamw", method_lr, 5e-4)
         self.method = (
             get_method(method, n_tasks=model.n_d_tasks, **method_kwargs)
             if method
@@ -87,7 +89,9 @@ class MTDGANTrainer:
             opt_d=self.tx_d.init(gv.params_d),
             mto_state=mto_state,
             mto_opt=mto_opt,
-            rng=rng,
+            # derived key: the caller's rng buffer must not be donated away
+            # with the state on the first train_step
+            rng=jax.random.fold_in(rng, 0),
             step=jnp.zeros((), jnp.int32),
         )
         if self.mesh is not None:
@@ -137,6 +141,18 @@ class MTDGANTrainer:
                 weights = None
 
             updates, opt_d = self.tx_d.update(grad_d, state.opt_d, state.params_d)
+            # faithful surgery semantics: the reference leaves grad=None on
+            # params outside the method's gradient set and torch optimizers
+            # SKIP them entirely (no weight decay, no Adam step) — zero the
+            # UPDATES there, not just the gradients (weight_methods.py:429-588)
+            frozen = {"pcgrad": ("unassigned",),
+                      "cagrad": ("task", "unassigned")}.get(
+                          method.name if method else "", ())
+            if frozen:
+                updates = jax.tree_util.tree_map(
+                    lambda lab, u: jnp.zeros_like(u) if lab in frozen else u,
+                    labels, updates,
+                )
             params_d = optax.apply_updates(state.params_d, updates)
             state = state.replace(
                 params_d=params_d, opt_d=opt_d, state_d=new_sp,
@@ -187,6 +203,11 @@ class MTDGANTrainer:
     def set_epoch_lr(self, state: GANTrainState, lr: float):
         optim_lib.set_learning_rate(state.opt_g, lr)
         optim_lib.set_learning_rate(state.opt_d, lr)
+        # the reference scheduler scales BOTH optimizer_D param groups,
+        # including the method-params group (train.py:122-127)
+        if self.method and self.method.name == "uw":
+            optim_lib.set_learning_rate(
+                state.mto_opt, self.method_lr * lr / self.base_lr)
         return state
 
     def generate(self, state: GANTrainState, x):

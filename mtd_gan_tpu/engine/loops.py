@@ -46,6 +46,9 @@ FAMILY = {
 
 
 def family_of(model_name: str) -> str:
+    from mtd_gan_tpu.models import resolve_alias
+
+    model_name = resolve_alias(model_name)
     if model_name.startswith("Ablation_"):
         return "mtd"
     return FAMILY.get(model_name, "cnn")

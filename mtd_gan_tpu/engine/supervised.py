@@ -49,7 +49,9 @@ class SupervisedTrainer:
         state = SupervisedState(
             params=params,
             opt_state=self.tx.init(params),
-            rng=rng,
+            # derived key: the caller's rng buffer must not be donated away
+            # with the state on the first train_step
+            rng=jax.random.fold_in(rng, 0),
             step=jnp.zeros((), jnp.int32),
         )
         if self.mesh is not None:

@@ -46,7 +46,7 @@ class AdversarialTrainer:
         state = AdvTrainState(
             params_g=gv.params_g, params_d=gv.params_d, state_d=gv.state_d,
             opt_g=self.tx_g.init(gv.params_g), opt_d=self.tx_d.init(gv.params_d),
-            rng=rng, step=jnp.zeros((), jnp.int32),
+            rng=jax.random.fold_in(rng, 0), step=jnp.zeros((), jnp.int32),
         )
         if self.mesh is not None:
             state = jax.device_put(state, replicated_sharding(self.mesh))
@@ -151,7 +151,7 @@ class DUGANTrainer:
             opt_g=self.tx_g.init(v["params_g"]),
             opt_img_d=self.tx_img.init(v["params_img_d"]),
             opt_grad_d=self.tx_grad.init(v["params_grad_d"]),
-            rng=rng, step=jnp.zeros((), jnp.int32),
+            rng=jax.random.fold_in(rng, 0), step=jnp.zeros((), jnp.int32),
         )
         if self.mesh is not None:
             state = jax.device_put(state, replicated_sharding(self.mesh))

@@ -21,15 +21,21 @@ def register(name: str):
     return deco
 
 
+ALIASES = {
+    "MTD_GAN": "MTD_GAN_Method",
+    "ED_CNN": "EDCNN",
+    "MAP_NN_brain": "MAP_NN",
+    "DU_GAN_brain": "DU_GAN",
+}
+
+
+def resolve_alias(name: str) -> str:
+    return ALIASES.get(name, name)
+
+
 def get_model(name: str, **kwargs):
     """Build a model by reference-compatible name."""
-    aliases = {
-        "MTD_GAN": "MTD_GAN_Method",
-        "ED_CNN": "EDCNN",
-        "MAP_NN_brain": "MAP_NN",
-        "DU_GAN_brain": "DU_GAN",
-    }
-    name = aliases.get(name, name)
+    name = resolve_alias(name)
     _ensure_registered()
     if name not in _REGISTRY:
         raise KeyError(f"unknown model {name!r}; known: {sorted(_REGISTRY)}")

@@ -207,8 +207,11 @@ class PNDMScheduler(BaseScheduler):
             x_next = prev_sample(base, t_eff, t_prev, eps_used)
             return (x_next, new_cur, new_ets, new_n), None
 
-        # schedule with the doubled first step (counter 0 and 1 share t0)
-        ts = np.concatenate([[plms_steps[0]], plms_steps]).astype(np.int32)
+        # one pass over the PLMS timesteps; counter 1 re-steps the FIRST
+        # transition from the remembered sample with the averaged eps
+        # (reference pndm.py:255-276 — eps there is evaluated at the SECOND
+        # timestep, t_eff/t_prev shifted up by one ratio)
+        ts = np.asarray(plms_steps, dtype=np.int32)
         counters = np.arange(len(ts), dtype=np.int32)
         ets0 = jnp.zeros((4,) + noise.shape, noise.dtype)
         (x, _, _, _), _ = jax.lax.scan(

@@ -20,7 +20,7 @@ import numpy as np
 from flax import linen as nn
 
 from mtd_gan_tpu import losses
-from mtd_gan_tpu.ops.layers import Conv, torch_kernel_init
+from mtd_gan_tpu.ops.layers import Conv
 
 Array = jax.Array
 
@@ -87,18 +87,18 @@ class EDCNN(nn.Module):
         h = out_0
         for i in range(1, 8):
             p = Conv(self.out_ch, kernel_size=(1, 1), padding=0,
-                     kernel_init=torch_kernel_init(), dtype=self.dtype,
+                     torch_init=True, dtype=self.dtype,
                      name=f"conv_p{i}")(h)
             f = Conv(self.out_ch, kernel_size=(3, 3), padding=1,
-                     kernel_init=torch_kernel_init(), dtype=self.dtype,
+                     torch_init=True, dtype=self.dtype,
                      name=f"conv_f{i}")(lrelu(p))
             h = jnp.concatenate([out_0, lrelu(f)], axis=-1)
 
         p8 = Conv(self.out_ch, kernel_size=(1, 1), padding=0,
-                  kernel_init=torch_kernel_init(), dtype=self.dtype,
+                  torch_init=True, dtype=self.dtype,
                   name="conv_p8")(h)
         f8 = Conv(1, kernel_size=(3, 3), padding=1,
-                  kernel_init=torch_kernel_init(), dtype=self.dtype,
+                  torch_init=True, dtype=self.dtype,
                   name="conv_f8")(lrelu(p8))
         return nn.relu(x + f8)
 

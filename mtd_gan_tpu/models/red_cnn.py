@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mtd_gan_tpu import losses
-from mtd_gan_tpu.ops.layers import Conv, ConvTranspose, torch_kernel_init
+from mtd_gan_tpu.ops.layers import Conv, ConvTranspose
 
 Array = jax.Array
 
@@ -34,7 +34,7 @@ class REDCNN(nn.Module):
             self.out_ch,
             kernel_size=(5, 5),
             padding="VALID",
-            kernel_init=torch_kernel_init(),
+            torch_init=True,
             dtype=self.dtype,
             name=name,
         )
@@ -42,7 +42,7 @@ class REDCNN(nn.Module):
             feats,
             kernel_size=(5, 5),
             padding=0,
-            kernel_init=torch_kernel_init(),
+            torch_init=True,
             dtype=self.dtype,
             name=name,
         )

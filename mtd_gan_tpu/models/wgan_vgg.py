@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mtd_gan_tpu.models.base import GANVariables
-from mtd_gan_tpu.ops.layers import Conv, Dense, torch_kernel_init
+from mtd_gan_tpu.ops.layers import Conv, Dense
 
 Array = jax.Array
 
@@ -34,11 +34,11 @@ class WGANVGGGenerator(nn.Module):
         h = x
         for i in range(11):
             h = Conv(self.features, kernel_size=(3, 3), padding=1, use_bias=False,
-                     kernel_init=torch_kernel_init(), dtype=self.dtype,
+                     torch_init=True, dtype=self.dtype,
                      name=f"conv{i}")(h)
             h = nn.relu(h)
         h = Conv(1, kernel_size=(1, 1), padding=0, use_bias=False,
-                 kernel_init=torch_kernel_init(), dtype=self.dtype,
+                 torch_init=True, dtype=self.dtype,
                  name="conv_out")(h)
         return nn.relu(h + x)
 
@@ -52,15 +52,15 @@ class WGANVGGDiscriminator(nn.Module):
         h = x
         for i, (ch, stride) in enumerate(cfg):
             h = Conv(ch, kernel_size=(3, 3), strides=(stride, stride), padding=1,
-                     kernel_init=torch_kernel_init(), dtype=self.dtype,
+                     torch_init=True, dtype=self.dtype,
                      name=f"conv{i}")(h)
             h = nn.leaky_relu(h, 0.2)
         # torch flatten of NCHW (C,H,W) order; transpose NHWC -> NCHW first
         # so torch-trained fc weights import correctly
         h = h.transpose(0, 3, 1, 2).reshape(h.shape[0], -1)
-        h = Dense(1024, kernel_init=torch_kernel_init(), name="fc1")(h)
+        h = Dense(1024, torch_init=True, name="fc1")(h)
         h = nn.leaky_relu(h, 0.2)
-        return Dense(1, kernel_init=torch_kernel_init(), name="fc2")(h)
+        return Dense(1, torch_init=True, name="fc2")(h)
 
 
 def wgan_gradient_penalty(disc_apply, rng, real: Array, fake: Array,

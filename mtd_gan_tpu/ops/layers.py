@@ -96,13 +96,20 @@ class Conv(nn.Module, _SpectralMixin):
     dtype: jnp.dtype | None = None
     sn_seed: int = 0
     feature_group_count: int = 1
+    torch_init: bool = False  # torch Conv2d default: kaiming-uniform kernel
+    #                           + U(-1/sqrt(fan_in), .) bias
 
     @nn.compact
     def __call__(self, x: Array, update_stats: bool = True) -> Array:
         kh, kw = self.kernel_size
         in_ch = x.shape[-1] // self.feature_group_count
+        kernel_init = self.kernel_init
+        bias_init = self.bias_init
+        if self.torch_init:
+            kernel_init = torch_kernel_init()
+            bias_init = torch_bias_init(kh * kw * in_ch)
         kernel = self.param(
-            "kernel", self.kernel_init, (kh, kw, in_ch, self.features), jnp.float32
+            "kernel", kernel_init, (kh, kw, in_ch, self.features), jnp.float32
         )
         if self.spectral_norm:
             w_mat = kernel.transpose(3, 0, 1, 2).reshape(self.features, -1)
@@ -124,7 +131,7 @@ class Conv(nn.Module, _SpectralMixin):
             feature_group_count=self.feature_group_count,
         )
         if self.use_bias:
-            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            bias = self.param("bias", bias_init, (self.features,), jnp.float32)
             y = y + bias.astype(dtype)
         return y
 
@@ -148,15 +155,22 @@ class ConvTranspose(nn.Module, _SpectralMixin):
     bias_init: Callable = nn.initializers.zeros
     dtype: jnp.dtype | None = None
     sn_seed: int = 0
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x: Array, update_stats: bool = True) -> Array:
         kh, kw = self.kernel_size
         in_ch = x.shape[-1]
+        kernel_init = self.kernel_init
+        bias_init = self.bias_init
+        if self.torch_init:
+            # torch ConvTranspose2d fan_in = out_channels * kh * kw
+            kernel_init = torch_kernel_init()
+            bias_init = torch_bias_init(kh * kw * self.features)
         # Stored layout mirrors torch ConvTranspose2d (in, out) ordering in
         # HW(I=in)(O=out) form so init scales and weight import line up.
         kernel = self.param(
-            "kernel", self.kernel_init, (kh, kw, in_ch, self.features), jnp.float32
+            "kernel", kernel_init, (kh, kw, in_ch, self.features), jnp.float32
         )
         if self.spectral_norm:
             # torch reshapes transposed-conv weight (in, out, kh, kw) -> (in, -1)
@@ -178,7 +192,7 @@ class ConvTranspose(nn.Module, _SpectralMixin):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
-            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            bias = self.param("bias", bias_init, (self.features,), jnp.float32)
             y = y + bias.astype(dtype)
         return y
 
@@ -194,12 +208,18 @@ class Dense(nn.Module, _SpectralMixin):
     bias_init: Callable = nn.initializers.zeros
     dtype: jnp.dtype | None = None
     sn_seed: int = 0
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x: Array, update_stats: bool = True) -> Array:
         in_dim = x.shape[-1]
+        kernel_init = self.kernel_init
+        bias_init = self.bias_init
+        if self.torch_init:
+            kernel_init = torch_kernel_init()
+            bias_init = torch_bias_init(in_dim)
         kernel = self.param(
-            "kernel", self.kernel_init, (in_dim, self.features), jnp.float32
+            "kernel", kernel_init, (in_dim, self.features), jnp.float32
         )
         if self.spectral_norm:
             sigma = self._spectral_normalize(kernel.T, update_stats)
@@ -207,6 +227,6 @@ class Dense(nn.Module, _SpectralMixin):
         dtype = self.dtype or x.dtype
         y = x.astype(dtype) @ kernel.astype(dtype)
         if self.use_bias:
-            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            bias = self.param("bias", bias_init, (self.features,), jnp.float32)
             y = y + bias.astype(dtype)
         return y

@@ -52,8 +52,12 @@ def get_optimizer(name: str, lr: float = 1e-4, weight_decay: float = 5e-4):
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Update the injected learning_rate hyperparameter in-place-style."""
-    opt_state.hyperparams["learning_rate"] = lr
+    """Update the injected learning_rate hyperparameter in-place-style.
+    Stored as a strong-typed f32 array: a raw python float would change the
+    pytree leaf type and force a second jit compile of the train step."""
+    import jax.numpy as jnp
+
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state
 
 

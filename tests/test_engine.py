@@ -115,3 +115,24 @@ def test_mtd_gan_trainer_all_solver_methods(rng, method):
     state, metrics = trainer.train_step(state, x, y)
     assert np.isfinite(float(metrics["d_loss"]))
     assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_surgery_frozen_params_not_decayed(rng):
+    """Regression: params outside the surgery gradient set (c_fc under
+    pcgrad) must not move at all — the reference optimizer skips them
+    (no weight decay either)."""
+    model = MTDGANModel(gen_features=4, disc_features=4, num_layers=1)
+    trainer = MTDGANTrainer(model, method="pcgrad", lr=1e-2)
+    state = trainer.create_state(rng)
+    before = np.asarray(state.params_d["c_fc"]["kernel"])
+    x, y = _toy_batch(rng, n=1)
+    for _ in range(2):
+        state, _ = trainer.train_step(state, x, y)
+    np.testing.assert_array_equal(
+        before, np.asarray(state.params_d["c_fc"]["kernel"]))
+    # shared params did move (fresh key: the fixture rng buffer was donated
+    # into the train state)
+    fresh = trainer.model.init(jax.random.PRNGKey(0))
+    assert not np.allclose(
+        np.asarray(state.params_d["conv11"]["kernel"]),
+        np.asarray(fresh.params_d["conv11"]["kernel"]))

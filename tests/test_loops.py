@@ -132,3 +132,12 @@ def test_run_test_with_feature_metrics(rng, np_rng, tmp_path):
     assert summary["gt_fid"] < 1e-6
     for k in ("pred_pl", "pred_tml", "pred_fid", "input_pl"):
         assert np.isfinite(summary[k]), k
+
+
+def test_family_of_resolves_aliases():
+    """Regression: aliased names must dispatch to the right trainer family
+    (previously 'MTD_GAN' fell through to the supervised family and crashed)."""
+    assert family_of("MTD_GAN") == "mtd"
+    assert family_of("ED_CNN") == "cnn"
+    assert family_of("MAP_NN_brain") == "wgan"
+    assert family_of("DU_GAN_brain") == "dugan"
