@@ -21,8 +21,16 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
 
 # Persistent compilation cache: the big GAN train-step graphs take minutes to
-# compile on the single host core; cached re-runs are near-instant.
-jax.config.update("jax_compilation_cache_dir", "/tmp/mtd_gan_tpu_jax_cache")
+# compile on the single host core; cached re-runs are near-instant. Keyed per
+# backend+host so stale AOT entries from other machines never poison a run.
+import hashlib  # noqa: E402
+import platform  # noqa: E402
+
+_fh = hashlib.sha256(os.environ["XLA_FLAGS"].encode()).hexdigest()[:8]
+jax.config.update(
+    "jax_compilation_cache_dir",
+    f"/tmp/mtd_gan_tpu_jax_cache_cpu-{platform.node() or 'host'}-{_fh}",
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
