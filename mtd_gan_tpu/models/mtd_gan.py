@@ -346,7 +346,8 @@ class MTDGANModel:
         """Run the 64x64-contract discriminator over full-size slices via the
         multi-output sliding window (reference capability target,
         module/sliding_window.py:25-786): returns (cls, seg, rec) with CLS
-        averaged over tiles and SEG/REC blended to full size."""
+        per tile, shape (N, T, 1) — the reference concatenates per-tile CLS
+        logits (:126) — and SEG/REC blended to full size."""
         from mtd_gan_tpu.ops.sliding_window import sliding_window_inference
 
         def predictor(tiles):

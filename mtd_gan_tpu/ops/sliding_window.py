@@ -80,9 +80,11 @@ def sliding_window_inference(
     """Tiled inference over NHWC `inputs`.
 
     `predictor` maps (B, rh, rw, C) -> (B, rh, rw, C') or a tuple whose
-    entries are either spatial tiles (blended into full-size maps) or
-    per-tile vectors, e.g. CLS logits (importance-weight-averaged across
-    tiles) — the multi-output contract of module/sliding_window.py.
+    entries are either spatial tiles (importance-map-blended into full-size
+    maps with count normalization) or per-tile vectors, e.g. CLS logits,
+    which are returned UNAGGREGATED with shape (N, T, ...) — the reference
+    concatenates per-tile CLS outputs rather than averaging them
+    (module/sliding_window.py:126 `torch.concat(cls_list)`).
     Returns outputs matching the predictor's structure.
     """
     n, h, w, c = inputs.shape
@@ -182,7 +184,8 @@ def sliding_window_inference(
                             pad_w // 2 : w - (pad_w - pad_w // 2)]
             outs.append(full.astype(p.dtype))
         else:
-            # per-tile vector output (e.g. CLS logit): weighted mean over tiles
-            outs.append(jnp.mean(p, axis=1))
+            # per-tile vector output (e.g. CLS logit): keep per-tile, (N, T, ...)
+            # — reference returns the concatenated per-tile list unaggregated
+            outs.append(p)
 
     return tuple(outs) if is_tuple else outs[0]

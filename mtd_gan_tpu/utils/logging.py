@@ -116,7 +116,12 @@ class MetricLogger:
         """Epoch summary (reference's `{k: meter.global_avg}` dict)."""
         return {k: m.global_avg for k, m in self.meters.items()}
 
-    def log_every(self, iterable: Iterable, print_freq: int, header: str = ""):
+    def log_every(self, iterable: Iterable, print_freq: int, header: str = "",
+                  pre_print=None):
+        """`pre_print` (optional callable) runs just before each progress
+        print — the hook where deferred device->host metric syncs flush, so
+        the step loop itself never blocks on a transfer (reference syncs per
+        meter update, utils.py:63; we sync once per print window)."""
         i = 0
         start = time.time()
         end = time.time()
@@ -130,6 +135,8 @@ class MetricLogger:
             yield obj
             iter_time.update(time.time() - end)
             if i % print_freq == 0:
+                if pre_print is not None:
+                    pre_print()
                 if total:
                     eta_seconds = iter_time.global_avg * (total - i)
                     eta = str(datetime.timedelta(seconds=int(eta_seconds)))

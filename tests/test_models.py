@@ -101,7 +101,8 @@ def test_discriminator_full_image_inference(rng):
     x = jax.random.uniform(rng, (1, 128, 128, 1))
     cls, seg, rec = model.discriminate_full(gv.params_d, gv.state_d, x,
                                             sw_batch_size=8)
-    assert cls.shape == (1, 1)
+    # per-tile CLS logits (reference module/sliding_window.py:126)
+    assert cls.ndim == 3 and cls.shape[0] == 1 and cls.shape[2] == 1
     assert seg.shape == (1, 128, 128, 1)
     assert rec.shape == (1, 128, 128, 1)
     assert bool(jnp.all(jnp.isfinite(seg)))
