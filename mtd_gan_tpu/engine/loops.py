@@ -199,12 +199,15 @@ def run_test(model, state, loader, eval_preprocess, family: str,
     for batch in loader:
         hu_x, hu_y, paths = batch[0], batch[1], (batch[2] if len(batch) > 2 else None)
         x, y = eval_preprocess(jnp.asarray(hu_x), jnp.asarray(hu_y))
-        if family in ("tr", "dn"):
+        if family == "tr":
             pred = sliding_window_inference(
                 x, (64, 64), predictor, sw_batch_size=tr_sw_batch,
-                overlap=tr_overlap if family == "tr" else 0.5, mode="constant",
+                overlap=tr_overlap, mode="constant",
             )
         else:
+            # diffusion tests sample the FULL image (reference engine.py:866;
+            # only valid_DN uses the sliding window, engine.py:835) — the
+            # UNet's chunked attention keeps 512x512 sequences in memory
             pred = predictor(x)
         pred = jnp.clip(pred, 0.0, 1.0)
 

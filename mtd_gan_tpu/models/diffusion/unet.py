@@ -86,9 +86,29 @@ class AttentionBlock(nn.Module):
             return z.reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        attn = (q @ k.transpose(0, 1, 3, 2)) * (hd**-0.5)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = (attn @ v).transpose(0, 2, 1, 3).reshape(b, h_ * w_, c)
+        seq = h_ * w_
+        if seq <= 4096:
+            attn = (q @ k.transpose(0, 1, 3, 2)) * (hd**-0.5)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = attn @ v
+        else:
+            # full-image sampling (reference test path engine.py:866) runs
+            # attention over 65k+ tokens at 512x512 — the dense seq^2 matrix
+            # would be ~17 GB. Chunk queries so peak memory is qc*seq while
+            # keys/values stay whole (exact attention, just blocked).
+            qc = 2048
+            pad = (-seq) % qc
+            qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            qp = qp.reshape(b, heads, -1, qc, hd).transpose(2, 0, 1, 3, 4)
+
+            def block(qb):                      # (b, heads, qc, hd)
+                a = (qb @ k.transpose(0, 1, 3, 2)) * (hd**-0.5)
+                return jax.nn.softmax(a, axis=-1) @ v
+
+            out = jax.lax.map(block, qp)        # (nb, b, heads, qc, hd)
+            out = out.transpose(1, 2, 0, 3, 4).reshape(b, heads, -1, hd)
+            out = out[:, :, :seq]
+        out = out.transpose(0, 2, 1, 3).reshape(b, h_ * w_, c)
         out = nn.Dense(c, name="proj_attn")(out)
         return res + out.reshape(b, h_, w_, c)
 

@@ -92,3 +92,48 @@ def test_diffusion_sampling_small(rng):
     out = model.sample(params, rng, cond)
     assert out.shape == cond.shape
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_chunked_attention_matches_dense(rng):
+    """Sequences >4096 take the query-chunked path (full-image sampling,
+    reference engine.py:866); it must be EXACT attention, just blocked."""
+    import numpy as np
+    from mtd_gan_tpu.models.diffusion.unet import AttentionBlock
+
+    blk = AttentionBlock(num_head_channels=8)
+    x_small = jax.random.normal(rng, (1, 64, 64, 32))  # seq 4096 -> dense
+    x_big = jnp.pad(x_small, ((0, 0), (0, 8), (0, 8), (0, 0)))  # seq 5184 -> chunked
+    params = blk.init(rng, x_small)["params"]
+
+    dense = blk.apply({"params": params}, x_small)
+    chunked_full = blk.apply({"params": params}, x_big)
+    # can't compare different seqs directly; instead check the chunked path
+    # against a numpy dense computation on the big input
+    h = np.asarray(x_big)
+    out = np.asarray(chunked_full)
+    assert out.shape == x_big.shape
+    assert np.all(np.isfinite(out))
+
+    # exactness: run the same big input through a dense jnp computation
+    import flax.linen as fnn
+
+    def dense_attn(x, p):
+        b, hh, ww, c = x.shape
+        res = x
+        h_ = fnn.GroupNorm(32, epsilon=1e-6).apply(
+            {"params": p["norm"]}, x)
+        h_ = h_.reshape(b, hh * ww, c)
+        q = h_ @ p["to_q"]["kernel"] + p["to_q"]["bias"]
+        k = h_ @ p["to_k"]["kernel"] + p["to_k"]["bias"]
+        v = h_ @ p["to_v"]["kernel"] + p["to_v"]["bias"]
+        hd = 8
+        heads = c // hd
+        sp = lambda z: z.reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
+        q, k, v = sp(q), sp(k), sp(v)
+        a = jax.nn.softmax((q @ k.transpose(0, 1, 3, 2)) * hd**-0.5, -1)
+        o = (a @ v).transpose(0, 2, 1, 3).reshape(b, hh * ww, c)
+        o = o @ p["proj_attn"]["kernel"] + p["proj_attn"]["bias"]
+        return res + o.reshape(b, hh, ww, c)
+
+    want = dense_attn(x_big, params)
+    np.testing.assert_allclose(out, np.asarray(want), rtol=1e-4, atol=1e-5)
