@@ -124,6 +124,366 @@ def gmsd(x: Array, y: Array, data_range: float = 1.0, c: float = 0.00261) -> Arr
 
 
 # ---------------------------------------------------------------------------
+# VIF — visual information fidelity, pixel domain
+# (reference module/piq/vif.py:33-125 `vif_p`)
+# ---------------------------------------------------------------------------
+
+def _gaussian_kernel2d(size: int, sigma: float) -> jnp.ndarray:
+    xs = np.arange(size) - size // 2
+    g = np.exp(-(xs[:, None] ** 2 + xs[None, :] ** 2) / (2.0 * sigma**2))
+    return jnp.asarray(g / g.sum(), jnp.float32)
+
+
+def _valid_depthwise(x: Array, k: Array) -> Array:
+    c = x.shape[-1]
+    kk = jnp.broadcast_to(k[..., None, None], k.shape + (1, c)).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        x, kk, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+
+
+def vif_p(pred: Array, target: Array, sigma_n_sq: float = 2.0,
+          data_range: float = 1.0) -> Array:
+    """Visual Information Fidelity (pixel domain) over NHWC grayscale
+    batches; asymmetric — `pred` is the distorted image. Matches piq 0.5.2
+    vif_p (reference module/piq/vif.py:33)."""
+    eps = 1e-8
+    p = pred.astype(jnp.float32) / data_range
+    t = target.astype(jnp.float32) / data_range
+    num = jnp.zeros((p.shape[0],), jnp.float32)
+    den = jnp.zeros((p.shape[0],), jnp.float32)
+    for scale in range(1, 5):
+        ksize = 2 ** (5 - scale) + 1
+        kern = _gaussian_kernel2d(ksize, ksize / 5.0)
+        if scale > 1:
+            p = _valid_depthwise(p, kern)[:, ::2, ::2]
+            t = _valid_depthwise(t, kern)[:, ::2, ::2]
+        mu_t = _valid_depthwise(t, kern)
+        mu_p = _valid_depthwise(p, kern)
+        s_tt = jax.nn.relu(_valid_depthwise(t * t, kern) - mu_t * mu_t)
+        s_pp = jax.nn.relu(_valid_depthwise(p * p, kern) - mu_p * mu_p)
+        s_tp = _valid_depthwise(t * p, kern) - mu_t * mu_p
+
+        g = s_tp / (s_tt + eps)
+        sv = s_pp - g * s_tp
+        g = jnp.where(s_tt >= eps, g, 0.0)
+        sv = jnp.where(s_tt >= eps, sv, s_pp)
+        s_tt = jnp.where(s_tt >= eps, s_tt, 0.0)
+        g = jnp.where(s_pp >= eps, g, 0.0)
+        sv = jnp.where(s_pp >= eps, sv, 0.0)
+        sv = jnp.where(g >= 0, sv, s_pp)
+        g = jax.nn.relu(g)
+        sv = jnp.where(sv > eps, sv, eps)
+
+        num = num + jnp.sum(
+            jnp.log10(1.0 + g**2 * s_tt / (sv + sigma_n_sq)), axis=(1, 2, 3)
+        )
+        den = den + jnp.sum(jnp.log10(1.0 + s_tt / sigma_n_sq), axis=(1, 2, 3))
+    return jnp.mean((num + eps) / (den + eps))
+
+
+# ---------------------------------------------------------------------------
+# FSIM — feature similarity (phase congruency + gradient magnitude)
+# (reference module/piq/fsim.py:18-444; grayscale/non-chromatic variant —
+# LDCT slices are single-channel)
+# ---------------------------------------------------------------------------
+
+def _ifftshift_np(a: np.ndarray) -> np.ndarray:
+    return np.roll(a, [-(s // 2) for s in a.shape], axis=tuple(range(a.ndim)))
+
+
+def _meshgrid_np(h: int, w: int):
+    # piq get_meshgrid (functional/base.py:12-31)
+    x = (np.arange(-((h - 1) / 2) if h % 2 else -h / 2, h / 2)
+         / (h - 1 if h % 2 else h))
+    y = (np.arange(-((w - 1) / 2) if w % 2 else -w / 2, w / 2)
+         / (w - 1 if w % 2 else w))
+    return np.meshgrid(x, y, indexing="ij")
+
+
+def _fsim_filters(h: int, w: int, scales: int, orientations: int,
+                  min_length: int, mult: int, sigma_f: float,
+                  delta_theta: float) -> np.ndarray:
+    """(O*S, H, W) log-Gabor x angular-spread filter bank
+    (reference module/piq/fsim.py:127-210)."""
+    theta_sigma = np.pi / (orientations * delta_theta)
+    gx, gy = _meshgrid_np(h, w)
+    radius = _ifftshift_np(np.sqrt(gx**2 + gy**2))
+    theta = _ifftshift_np(np.arctan2(-gy, gx))
+    radius[0, 0] = 1.0
+    sintheta, costheta = np.sin(theta), np.cos(theta)
+
+    lp = 1.0 / (1.0 + (np.sqrt(gx**2 + gy**2) / 0.45) ** (2 * 15))
+    lp = _ifftshift_np(lp)
+
+    log_gabor = []
+    for s in range(scales):
+        omega0 = 1.0 / (min_length * mult**s)
+        g = np.exp(-(np.log(radius / omega0) ** 2) / (2 * np.log(sigma_f) ** 2))
+        g = g * lp
+        g[0, 0] = 0.0
+        log_gabor.append(g)
+    spread = []
+    for o in range(orientations):
+        angl = o * np.pi / orientations
+        ds = sintheta * np.cos(angl) - costheta * np.sin(angl)
+        dc = costheta * np.cos(angl) + sintheta * np.sin(angl)
+        dtheta = np.abs(np.arctan2(ds, dc))
+        spread.append(np.exp(-(dtheta**2) / (2 * theta_sigma**2)))
+    filters = np.stack(
+        [spread[o] * log_gabor[s]
+         for o in range(orientations) for s in range(scales)]
+    )
+    return filters.astype(np.float32)
+
+
+def _phase_congruency(x: Array, scales: int = 4, orientations: int = 4,
+                      min_length: int = 6, mult: int = 2,
+                      sigma_f: float = 0.55, delta_theta: float = 1.2,
+                      k: float = 2.0) -> Array:
+    """(N, H, W) grayscale -> (N, H, W) phase-congruency map
+    (reference module/piq/fsim.py:212-338). FFTs run as DFT matmuls —
+    XLA's generic TPU FFT is too inaccurate (PERF.md)."""
+    from mtd_gan_tpu.ops.dft import fft2_matmul, ifft2_matmul
+
+    eps = np.finfo(np.float32).eps
+    n, h, w = x.shape
+    filters = jnp.asarray(
+        _fsim_filters(h, w, scales, orientations, min_length, mult,
+                      sigma_f, delta_theta)
+    )  # (O*S, H, W)
+
+    xr, xi = fft2_matmul(x)                               # (N, H, W)
+    prod_r = xr[:, None] * filters[None]                  # (N, O*S, H, W)
+    prod_i = xi[:, None] * filters[None]
+    even, odd = ifft2_matmul(
+        prod_r.reshape(-1, h, w), prod_i.reshape(-1, h, w)
+    )
+    even = even.reshape(n, orientations, scales, h, w)
+    odd = odd.reshape(n, orientations, scales, h, w)
+    an = jnp.sqrt(even**2 + odd**2)
+
+    # ifft2 of the filters, rescaled (reference :246-249)
+    fr, fi = ifft2_matmul(filters, jnp.zeros_like(filters))
+    filters_ifft = fr * np.sqrt(h * w)
+    filters_ifft = filters_ifft.reshape(1, orientations, scales, h, w)
+    f2 = filters.reshape(1, orientations, scales, h, w)
+    em_n = jnp.sum(f2[:, :, :1] ** 2, axis=(-2, -1), keepdims=True)
+
+    sum_e = jnp.sum(even, axis=2, keepdims=True)
+    sum_o = jnp.sum(odd, axis=2, keepdims=True)
+    x_energy = jnp.sqrt(sum_e**2 + sum_o**2) + eps
+    mean_e = sum_e / x_energy
+    mean_o = sum_o / x_energy
+    energy = jnp.sum(
+        even * mean_e + odd * mean_o - jnp.abs(even * mean_o - odd * mean_e),
+        axis=2, keepdims=True,
+    )
+
+    # noise estimation from the smallest-scale response (reference :269-330);
+    # every statistic below is (N|1, O, 1, 1, 1) and broadcasts over (H, W)
+    abs_eo2 = (even[:, :, :1] ** 2 + odd[:, :, :1] ** 2).reshape(
+        n, orientations, 1, 1, h * w
+    )
+    median_e2n = jnp.median(abs_eo2, axis=-1, keepdims=True)
+    mean_e2n = -median_e2n / np.log(0.5)
+    noise_power = mean_e2n / em_n
+
+    sum_an2 = jnp.sum(
+        jnp.sum(filters_ifft**2, axis=2, keepdims=True),
+        axis=(-2, -1), keepdims=True,
+    )
+    sum_ai_aj = jnp.zeros((1, orientations, 1, 1, 1), jnp.float32)
+    for s in range(scales - 1):
+        sum_ai_aj = sum_ai_aj + jnp.sum(
+            jnp.sum(filters_ifft[:, :, s:s + 1] * filters_ifft[:, :, s + 1:],
+                    axis=2, keepdims=True),
+            axis=(-2, -1), keepdims=True,
+        )
+    noise_energy2 = 2 * noise_power * sum_an2 + 4 * noise_power * sum_ai_aj
+    tau = jnp.sqrt(noise_energy2 / 2.0)
+    noise_energy = tau * np.sqrt(np.pi / 2.0)
+    noise_sigma = jnp.sqrt((2.0 - np.pi / 2.0) * tau**2)
+    t_thresh = (noise_energy + k * noise_sigma) / 1.7
+
+    energy = jnp.maximum(energy - t_thresh, 0.0)
+    energy_all = jnp.sum(energy, axis=(1, 2)) + eps
+    an_all = jnp.sum(an, axis=(1, 2)) + eps
+    return energy_all / an_all
+
+
+def fsim(pred: Array, target: Array, data_range: float = 1.0,
+         scales: int = 4, orientations: int = 4, min_length: int = 6,
+         mult: int = 2, sigma_f: float = 0.55, delta_theta: float = 1.2,
+         k: float = 2.0) -> Array:
+    """FSIM over NHWC grayscale batches (chromatic=False — CT slices are
+    single-channel). Matches piq 0.5.2 fsim (reference module/piq/fsim.py:18)."""
+    x = pred.astype(jnp.float32) / data_range * 255.0
+    y = target.astype(jnp.float32) / data_range * 255.0
+    ksize = max(1, round(min(x.shape[1], x.shape[2]) / 256))
+    if ksize > 1:
+        x = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (1, ksize, ksize, 1), (1, ksize, ksize, 1),
+            "VALID") / (ksize * ksize)
+        y = jax.lax.reduce_window(
+            y, 0.0, jax.lax.add, (1, ksize, ksize, 1), (1, ksize, ksize, 1),
+            "VALID") / (ksize * ksize)
+    xl = x[..., 0]                                        # (N, H, W)
+    yl = y[..., 0]
+
+    pc_x = _phase_congruency(xl, scales, orientations, min_length, mult,
+                             sigma_f, delta_theta, k)
+    pc_y = _phase_congruency(yl, scales, orientations, min_length, mult,
+                             sigma_f, delta_theta, k)
+
+    scharr = jnp.asarray(
+        np.array([[-3., 0., 3.], [-10., 0., 10.], [-3., 0., 3.]], np.float32)
+        / 16.0
+    )
+
+    def grad_map(z):
+        gx = depthwise_conv2d(z[..., None], scharr, 1)[..., 0]
+        gy = depthwise_conv2d(z[..., None], scharr.T, 1)[..., 0]
+        return jnp.sqrt(gx**2 + gy**2)
+
+    gm_x, gm_y = grad_map(xl), grad_map(yl)
+    t1, t2 = 0.85, 160.0
+    pc_sim = (2 * pc_x * pc_y + t1) / (pc_x**2 + pc_y**2 + t1)
+    gm_sim = (2 * gm_x * gm_y + t2) / (gm_x**2 + gm_y**2 + t2)
+    pc_max = jnp.maximum(pc_x, pc_y)
+    score = gm_sim * pc_sim * pc_max
+    result = jnp.sum(score, axis=(1, 2)) / jnp.sum(pc_max, axis=(1, 2))
+    return jnp.mean(result)
+
+
+# ---------------------------------------------------------------------------
+# BRISQUE — no-reference quality (reference module/piq/brisque.py:20-250)
+#
+# The 36-dim natural-scene-statistics feature pipeline (MSCN + GGD/AGGD fits
+# over 2 scales) is pure math and implemented here; the final score needs
+# piq's pretrained SVR (brisque_svm_weights.pt, an external download) and is
+# gated on a local copy — see WEIGHTS.md.
+# ---------------------------------------------------------------------------
+
+_GAMMA_TABLE = np.arange(0.2, 10.001, 0.001, dtype=np.float64)
+
+
+def _ggd_parameters(x: Array):
+    """Generalized-Gaussian fit via the rho/r(gamma) table lookup
+    (reference module/piq/brisque.py:135-151). x: (N, H, W)."""
+    from jax.scipy.special import gammaln
+
+    gamma = jnp.asarray(_GAMMA_TABLE, jnp.float32)
+    r_table = jnp.exp(
+        gammaln(1.0 / gamma) + gammaln(3.0 / gamma) - 2 * gammaln(2.0 / gamma)
+    )
+    sigma_sq = jnp.mean(x**2, axis=(-1, -2))
+    sigma = jnp.sqrt(sigma_sq)
+    e = jnp.mean(jnp.abs(x), axis=(-1, -2))
+    rho = sigma_sq / e**2
+    idx = jnp.argmin(jnp.abs(rho[:, None] - r_table[None]), axis=-1)
+    return gamma[idx], sigma
+
+
+def _aggd_parameters(x: Array):
+    """Asymmetric GGD fit (reference module/piq/brisque.py:154-180)."""
+    from jax.scipy.special import gammaln
+
+    gamma = jnp.asarray(_GAMMA_TABLE, jnp.float32)
+    r_table = jnp.exp(
+        2 * gammaln(2.0 / gamma) - gammaln(1.0 / gamma) - gammaln(3.0 / gamma)
+    )
+    mask_l = (x < 0).astype(jnp.float32)
+    mask_r = (x > 0).astype(jnp.float32)
+    count_l = jnp.sum(mask_l, axis=(-1, -2))
+    count_r = jnp.sum(mask_r, axis=(-1, -2))
+    sigma_l = jnp.sqrt(jnp.sum((x * mask_l) ** 2, axis=(-1, -2)) / count_l)
+    sigma_r = jnp.sqrt(jnp.sum((x * mask_r) ** 2, axis=(-1, -2)) / count_r)
+    gamma_hat = sigma_l / sigma_r
+    rho_hat = jnp.mean(jnp.abs(x), axis=(-1, -2)) ** 2 / jnp.mean(
+        x**2, axis=(-1, -2)
+    )
+    rho_norm = (rho_hat * (gamma_hat**3 + 1) * (gamma_hat + 1)) / (
+        gamma_hat**2 + 1
+    ) ** 2
+    idx = jnp.argmin(jnp.abs(rho_norm[:, None] - r_table[None]), axis=-1)
+    return gamma[idx], sigma_l, sigma_r
+
+
+def _natural_scene_statistics(luma: Array, kernel_size: int = 7,
+                              sigma: float = 7.0 / 6) -> Array:
+    """(N, H, W) luma -> (N, 18) NSS features
+    (reference module/piq/brisque.py:183-213)."""
+    from jax.scipy.special import gammaln
+
+    kern = _gaussian_kernel2d(kernel_size, sigma)
+    pad = kernel_size // 2
+    x4 = luma[..., None]
+    mu = depthwise_conv2d(x4, kern, pad)[..., 0]
+    std = jnp.sqrt(jnp.abs(depthwise_conv2d(x4**2, kern, pad)[..., 0] - mu**2))
+    nrm = (luma - mu) / (std + 1.0)
+
+    alpha, sig = _ggd_parameters(nrm)
+    feats = [alpha, sig**2]
+    for shift in [(0, 1), (1, 0), (1, 1), (-1, 1)]:
+        rolled = jnp.roll(nrm, shift, axis=(-2, -1))
+        a, s_l, s_r = _aggd_parameters(nrm * rolled)
+        eta = (s_r - s_l) * jnp.exp(
+            gammaln(2.0 / a) - (gammaln(1.0 / a) + gammaln(3.0 / a)) / 2
+        )
+        feats.extend((a, eta, s_l**2, s_r**2))
+    return jnp.stack(feats, axis=-1)
+
+
+_BRISQUE_RANGES = np.array(
+    [[0.338, 10], [0.017204, 0.806612], [0.236, 1.642],
+     [-0.123884, 0.20293], [0.000155, 0.712298], [0.001122, 0.470257],
+     [0.244, 1.641], [-0.123586, 0.179083], [0.000152, 0.710456],
+     [0.000975, 0.470984], [0.249, 1.555], [-0.135687, 0.100858],
+     [0.000174, 0.684173], [0.000913, 0.534174], [0.258, 1.561],
+     [-0.143408, 0.100486], [0.000179, 0.685696], [0.000888, 0.536508],
+     [0.471, 3.264], [0.012809, 0.703171], [0.218, 1.046],
+     [-0.094876, 0.187459], [1.5e-005, 0.442057], [0.001272, 0.40803],
+     [0.222, 1.042], [-0.115772, 0.162604], [1.6e-005, 0.444362],
+     [0.001374, 0.40243], [0.227, 0.996],
+     [-0.117188, 0.09832299999999999], [3e-005, 0.531903],
+     [0.001122, 0.369589], [0.228, 0.99], [-0.12243, 0.098658],
+     [2.8e-005, 0.530092], [0.001118, 0.370399]], np.float32,
+)
+
+
+def brisque_features(x: Array, kernel_size: int = 7,
+                     kernel_sigma: float = 7.0 / 6,
+                     data_range: float = 1.0) -> Array:
+    """NHWC grayscale batch -> (N, 36) scaled BRISQUE features, matching
+    piq's feature pipeline exactly (reference module/piq/brisque.py:51-66,
+    216-234). Sizes must be even (2x nearest downsample == ::2 stride)."""
+    luma = x[..., 0].astype(jnp.float32) / data_range * 255.0
+    feats = []
+    for _ in range(2):
+        feats.append(_natural_scene_statistics(luma, kernel_size, kernel_sigma))
+        luma = luma[:, ::2, ::2]
+    f = jnp.concatenate(feats, axis=-1)
+    rng_ = jnp.asarray(_BRISQUE_RANGES)
+    return -1.0 + 2.0 * (f - rng_[:, 0]) / (rng_[:, 1] - rng_[:, 0])
+
+
+def brisque(x: Array, sv_coef: np.ndarray, sv: np.ndarray,
+            gamma: float = 0.05, rho: float = -153.591,
+            data_range: float = 1.0) -> Array:
+    """Full BRISQUE score given piq's pretrained SVR (sv_coef (M, 1),
+    sv (36, M) — brisque_svm_weights.pt; reference module/piq/brisque.py:
+    238-250). Lower = better quality."""
+    f = brisque_features(x, data_range=data_range)
+    sv = jnp.asarray(sv, jnp.float32)            # (36, M)
+    dist = jnp.sum((f[:, :, None] - sv[None]) ** 2, axis=1)
+    kernel = jnp.exp(-dist * gamma)              # (N, M)
+    score = kernel @ jnp.asarray(sv_coef, jnp.float32).reshape(-1)
+    return score - rho
+
+
+# ---------------------------------------------------------------------------
 # KID (kernel inception distance, polynomial kernel, piq/kid semantics)
 # ---------------------------------------------------------------------------
 

@@ -99,6 +99,47 @@ def rfft2_matmul(x: Array) -> Tuple[Array, Array]:
     return out_r, out_i
 
 
+def fft2_matmul(x: Array) -> Tuple[Array, Array]:
+    """Unnormalized full complex 2-D DFT of a real (N, H, W) batch via factor
+    matmuls (the TPU-accurate path; XLA's generic TPU FFT round-trips at
+    ~4e-1 max-abs error on 512x512 — PERF.md). Matches
+    torch.fft.fft2(x) == old torch.rfft(x, 2, onesided=False)."""
+    n, h, w = x.shape
+    hr_h, hi_h = _dft_h_factors(h)
+    hr_w, hi_w = _dft_h_factors(w)
+    # undo the ortho scaling baked into the factors
+    fr_h = jnp.asarray(hr_h) * np.sqrt(h)
+    fi_h = jnp.asarray(hi_h) * np.sqrt(h)
+    fr_w = jnp.asarray(hr_w) * np.sqrt(w)
+    fi_w = jnp.asarray(hi_w) * np.sqrt(w)
+    x32 = x.astype(jnp.float32)
+    # W axis first (real input)
+    zr = jnp.einsum("nhw,wk->nhk", x32, fr_w)
+    zi = jnp.einsum("nhw,wk->nhk", x32, fi_w)
+    # H axis (complex)
+    out_r = jnp.einsum("mh,nhk->nmk", fr_h, zr) - jnp.einsum("mh,nhk->nmk", fi_h, zi)
+    out_i = jnp.einsum("mh,nhk->nmk", fr_h, zi) + jnp.einsum("mh,nhk->nmk", fi_h, zr)
+    return out_r, out_i
+
+
+def ifft2_matmul(z_re: Array, z_im: Array) -> Tuple[Array, Array]:
+    """Normalized (1/HW) full complex 2-D inverse DFT of (N, H, W) spectra,
+    matching torch.fft.ifft2 == old torch.ifft(· , 2)."""
+    n, h, w = z_re.shape
+    hr_h, hi_h = _dft_h_factors(h)
+    hr_w, hi_w = _dft_h_factors(w)
+    # conjugate factors with 1/N normalization (factors carry 1/sqrt(N))
+    fr_h = jnp.asarray(hr_h) / np.sqrt(h)
+    fi_h = -jnp.asarray(hi_h) / np.sqrt(h)
+    fr_w = jnp.asarray(hr_w) / np.sqrt(w)
+    fi_w = -jnp.asarray(hi_w) / np.sqrt(w)
+    tr = jnp.einsum("mh,nhk->nmk", fr_h, z_re) - jnp.einsum("mh,nhk->nmk", fi_h, z_im)
+    ti = jnp.einsum("mh,nhk->nmk", fr_h, z_im) + jnp.einsum("mh,nhk->nmk", fi_h, z_re)
+    out_r = jnp.einsum("nhk,kw->nhw", tr, fr_w) - jnp.einsum("nhk,kw->nhw", ti, fi_w)
+    out_i = jnp.einsum("nhk,kw->nhw", tr, fi_w) + jnp.einsum("nhk,kw->nhw", ti, fr_w)
+    return out_r, out_i
+
+
 def irfft2_matmul(z_re: Array, z_im: Array, s: Tuple[int, int]) -> Array:
     """(real, imag) half-spectra (N, H, K, C) -> real NHWC, equal to
     jnp.fft.irfft2(z, s=s, axes=(1, 2), norm='ortho')."""
