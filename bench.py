@@ -5,10 +5,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline is measured against the driver target of 5x an H100-PyTorch
 reference. The reference repo publishes no throughput numbers (BASELINE.md),
-so the H100 figure is an analytic estimate documented here:
-  generator work/slice ~ 0.29 TFLOP (22 enc/dec convs + 21 FFT blocks at
-  512x512x32, fp32) ; H100 PyTorch (TF32 cuDNN + cuFFT, 32-channel convs at
-  low MXU utilization) ~ 200 slices/sec  =>  target 1000 slices/sec/chip.
+so the H100 figure is an analytic estimate ANCHORED by a measurement of the
+actual reference model on this host:
+  * measured: /root/reference arch/Ours ResFFT_Generator, torch-CPU,
+    1 thread, 512x512: 55.9 s/slice = 0.0179 slices/s (~5 GFLOP/s effective
+    on the ~0.29 TFLOP/slice workload — 22 enc/dec convs + 21 FFT blocks at
+    512x512x32, fp32).
+  * scaling: H100 PyTorch (TF32 cuDNN + cuFFT, 32-channel convs at low
+    tensor-core utilization) ~ 60 TFLOP/s effective on this op mix
+    => ~200 slices/sec => driver 5x target = 1000 slices/sec/chip.
 vs_baseline = value / 1000 (>= 1.0 means the 5x target is met).
 """
 

@@ -89,8 +89,14 @@ class AblationModel:
         rngs = jax.random.split(rng, 4)
         fake = jax.lax.stop_gradient(self.generate(params_g, x))
         sp = state_d
-        real, sp = self._apply_d(params_d, sp, y, rngs[0], train)
-        fke, sp = self._apply_d(params_d, sp, fake, rngs[1], train)
+        b = y.shape[0]
+        # one concatenated 2B forward for (y, fake) — same fusion as
+        # MTDGANModel.d_loss (SN power iteration advances once per pair)
+        pair, sp = self._apply_d(
+            params_d, sp, jnp.concatenate([y, fake], axis=0), rngs[0], train
+        )
+        real = jax.tree_util.tree_map(lambda t: t[:b], pair)
+        fke = jax.tree_util.tree_map(lambda t: t[b:], pair)
         diff = x - y
         details = {}
         total = jnp.float32(0.0)
@@ -118,10 +124,13 @@ class AblationModel:
             details["D/rec_loss_real"], details["D/rec_loss_fake"] = rl_r, rl_f
 
         if self.use_rc:
-            rr, sp = self._apply_d(
-                params_d, sp, jnp.clip(real[rec_i], 0.0, 1.0), rngs[2], train)
-            rf, sp = self._apply_d(
-                params_d, sp, jnp.clip(fke[rec_i], 0.0, 1.0), rngs[3], train)
+            rc_pair, sp = self._apply_d(
+                params_d, sp,
+                jnp.concatenate([jnp.clip(real[rec_i], 0.0, 1.0),
+                                 jnp.clip(fke[rec_i], 0.0, 1.0)], axis=0),
+                rngs[2], train)
+            rr = jax.tree_util.tree_map(lambda t: t[:b], rc_pair)
+            rf = jax.tree_util.tree_map(lambda t: t[b:], rc_pair)
             c_re = losses.l2(real[cls_i], rr[cls_i])
             c_rd = losses.l2(real[seg_i], rr[seg_i])
             c_fe = losses.l2(fke[cls_i], rf[cls_i])

@@ -52,6 +52,7 @@ class ResFFTGenerator(nn.Module):
     kernel_size: int = 3
     padding: int = 1
     dtype: Optional[jnp.dtype] = None
+    spectral_impl: str = "auto"  # see ops/fft_conv.fft_conv_block
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -64,7 +65,9 @@ class ResFFTGenerator(nn.Module):
             feats, kernel_size=k, padding=self.padding,
             kernel_init=_INIT, dtype=self.dtype, name=name,
         )
-        fft = lambda i: FFTConvBlock(self.features, kernel_init=_INIT, name=f"fft_{i}")
+        fft = lambda i: FFTConvBlock(self.features, kernel_init=_INIT,
+                                     spectral_impl=self.spectral_impl,
+                                     name=f"fft_{i}")
 
         skips = []
         h = x
@@ -220,6 +223,12 @@ class MTDGANModel:
             in_channels=1, features=gen_features, num_layers=num_layers,
             kernel_size=3, padding=1, dtype=dtype,
         )
+        # same params, Pallas spectral branch: the inference path (no grads
+        # through pallas_call needed; training keeps the einsum DFT)
+        self.GeneratorTiled = ResFFTGenerator(
+            in_channels=1, features=gen_features, num_layers=num_layers,
+            kernel_size=3, padding=1, dtype=dtype, spectral_impl="pallas_tiled",
+        )
         self.Discriminator = MultiTaskDiscriminator(
             in_channels=1, features=disc_features, dtype=dtype
         )
@@ -248,6 +257,16 @@ class MTDGANModel:
     # jit-of-jit inside the trainer is free
     @partial(jax.jit, static_argnums=0)
     def generate(self, params_g, x: Array) -> Array:
+        # full-size inference on TPU runs the VMEM-fused Pallas spectral
+        # branch (identical params; H-tiling requires H % 64 == 0); training
+        # g_loss differentiates Generator.apply directly, not this path
+        if (
+            jax.default_backend() == "tpu"
+            and x.shape[1] >= 256
+            and x.shape[1] % 64 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            return self.GeneratorTiled.apply({"params": params_g}, x)
         return self.Generator.apply({"params": params_g}, x)
 
     def _apply_d(self, params_d, spectral, x, rng, train):
@@ -268,13 +287,29 @@ class MTDGANModel:
 
     # ---- losses ----
     def d_loss(self, params_d, params_g, state_d, rng, x, y, train=True):
-        """Returns (stacked [disc, rec, consist], (new_state, details))."""
+        """Returns (stacked [disc, rec, consist], (new_state, details)).
+
+        The reference applies D four times per step (y, fake, and the two
+        clipped restorations — arch/Ours/networks.py:1957-1977). The first
+        two and last two have no data dependence between them, so each pair
+        runs as ONE concatenated 2B-batch forward: half the kernel launches
+        and weight reads on the D side, which dominates the train step
+        (VERDICT r1 item 3). Cadence note: spectral-norm power iteration now
+        advances twice per d_loss instead of four times — same fixed point,
+        slightly slower u convergence in the first steps; dropout draws one
+        mask per fused pair."""
         rngs = jax.random.split(rng, 4)
         fake = jax.lax.stop_gradient(self.generate(params_g, x))
         sp = state_d
+        b = y.shape[0]
 
-        (real_enc, real_dec, real_rec), sp = self._apply_d(params_d, sp, y, rngs[0], train)
-        (fake_enc, fake_dec, fake_rec), sp = self._apply_d(params_d, sp, fake, rngs[1], train)
+        pair1, sp = self._apply_d(
+            params_d, sp, jnp.concatenate([y, fake], axis=0), rngs[0], train
+        )
+        (real_enc, real_dec, real_rec), (fake_enc, fake_dec, fake_rec) = (
+            jax.tree_util.tree_map(lambda t: t[:b], pair1),
+            jax.tree_util.tree_map(lambda t: t[b:], pair1),
+        )
 
         diff = x - y
         d_real_enc = losses.ls_gan(real_enc, 1.0)
@@ -288,11 +323,15 @@ class MTDGANModel:
         rec_loss = rec_loss_real + rec_loss_fake
 
         # restoration-consistency (RC): D outputs on its own clipped restorations
-        (rr_enc, rr_dec, _), sp = self._apply_d(
-            params_d, sp, jnp.clip(real_rec, 0.0, 1.0), rngs[2], train
+        pair2, sp = self._apply_d(
+            params_d, sp,
+            jnp.concatenate([jnp.clip(real_rec, 0.0, 1.0),
+                             jnp.clip(fake_rec, 0.0, 1.0)], axis=0),
+            rngs[2], train,
         )
-        (rf_enc, rf_dec, _), sp = self._apply_d(
-            params_d, sp, jnp.clip(fake_rec, 0.0, 1.0), rngs[3], train
+        (rr_enc, rr_dec, _), (rf_enc, rf_dec, _) = (
+            jax.tree_util.tree_map(lambda t: t[:b], pair2),
+            jax.tree_util.tree_map(lambda t: t[b:], pair2),
         )
         c_re = losses.l2(real_enc, rr_enc)
         c_rd = losses.l2(real_dec, rr_dec)
