@@ -41,6 +41,7 @@ def fft_conv_block(
     img_bias: Array,
     fft_kernel: Array,
     fft_bias: Array,
+    impl: str = "auto",
 ) -> Array:
     """Functional Res-FFT-Conv block on an NHWC tensor.
 
@@ -50,9 +51,32 @@ def fft_conv_block(
       img_bias: (C,) spatial conv bias.
       fft_kernel: (2C, 2C) spectral 1x1 mixing matrix.
       fft_bias: (2C,) spectral bias.
+      impl: 'auto' (DFT einsum on TPU, jnp.fft elsewhere — differentiable),
+        'pallas_tiled' (3-stage VMEM-fused kernels, inference only — the
+        block's residual adds fuse into the inverse-DFT epilogue), or
+        'pallas_fused' (per-sample single kernel for small patches,
+        inference only).
     """
     n, h, w, c = x.shape
     orig_dtype = x.dtype
+
+    if impl in ("pallas_tiled", "pallas_fused"):
+        from mtd_gan_tpu.ops import pallas_fftconv as pk
+
+        # interpret mode off-TPU keeps the path testable everywhere
+        interp = jax.default_backend() != "tpu"
+        img = jax.lax.conv_general_dilated(
+            x, img_kernel.astype(orig_dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        res = x + jax.nn.relu(img + img_bias.astype(orig_dtype))
+        if impl == "pallas_tiled":
+            return pk.spectral_branch_tiled(
+                x, fft_kernel, fft_bias, residual=res, interpret=interp
+            )
+        return res + pk.spectral_branch_fused(
+            x, fft_kernel, fft_bias, interpret=interp
+        )
 
     # --- spectral branch (fp32 values; transform backend-dependent) ---
     x32 = x.astype(jnp.float32)
@@ -94,10 +118,15 @@ def _finish_block(x: Array, fft_out: Array, img_kernel: Array,
 
 
 class FFTConvBlock(nn.Module):
-    """Linen wrapper over :func:`fft_conv_block` holding the two kernels."""
+    """Linen wrapper over :func:`fft_conv_block` holding the two kernels.
+
+    `spectral_impl` selects the compute path (see fft_conv_block); the
+    parameter structure is identical across impls, so params trained with
+    'auto' serve pallas inference directly."""
 
     channels: int
     kernel_init: Callable = normal_init(0.01)
+    spectral_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -106,4 +135,5 @@ class FFTConvBlock(nn.Module):
         img_bias = self.param("img_bias", nn.initializers.zeros, (c,), jnp.float32)
         fft_kernel = self.param("fft_kernel", self.kernel_init, (2 * c, 2 * c), jnp.float32)
         fft_bias = self.param("fft_bias", nn.initializers.zeros, (2 * c,), jnp.float32)
-        return fft_conv_block(x, img_kernel, img_bias, fft_kernel, fft_bias)
+        return fft_conv_block(x, img_kernel, img_bias, fft_kernel, fft_bias,
+                              impl=self.spectral_impl)

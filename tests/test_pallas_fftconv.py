@@ -6,7 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mtd_gan_tpu.ops.pallas_fftconv import spectral_branch_pallas
+from mtd_gan_tpu.ops.pallas_fftconv import (spectral_branch_fused,
+                                            spectral_branch_tiled)
 
 
 def _reference(x, mix, bias):
@@ -26,7 +27,28 @@ def test_pallas_spectral_branch_matches_fft(rng, shape):
     mix = jax.random.normal(jax.random.PRNGKey(1), (2 * c, 2 * c)) * 0.1
     bias = jax.random.normal(jax.random.PRNGKey(2), (2 * c,)) * 0.1
 
-    got = spectral_branch_pallas(x, mix, bias, interpret=True)
     want = _reference(x, mix, bias)
+    got = spectral_branch_fused(x, mix, bias, precision="highest",
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    got = spectral_branch_tiled(x, mix, bias, precision="tf32",
+                                th=h // 2, tk=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_generator_pallas_tiled_matches_auto(rng):
+    """ResFFTGenerator with spectral_impl='pallas_tiled' (interpret mode on
+    CPU) == the einsum/fft path on the same params."""
+    from mtd_gan_tpu.models.mtd_gan import ResFFTGenerator
+
+    gen = ResFFTGenerator(features=4, num_layers=1)
+    gen_tiled = ResFFTGenerator(features=4, num_layers=1,
+                                spectral_impl="pallas_tiled")
+    x = jax.random.uniform(rng, (1, 64, 64, 1), jnp.float32)
+    params = jax.jit(gen.init)(rng, x)["params"]
+    want = gen.apply({"params": params}, x)
+    got = gen_tiled.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
