@@ -185,13 +185,44 @@ def _from_rows(t, c, tc, m):                          # (C*tc, M) -> (M, C, tc)
     return t.reshape(c, tc, m).transpose(2, 0, 1)
 
 
-def _stage_b1_chunk(zr, zi, hr, hi, mix, bias, dots, tc, c, m):
-    """One K-chunk: (M, C, tc) spectra pair -> H-forward DFT -> channel mix
-    + ReLU -> mixed spectrum (re, im) in (M, C, tc) layout.
+def _make_dots_left(precision: str):
+    """dots_l(pack, a) -> pack[0-ish] @ a with the pack as LHS."""
+    if precision == "tf32":
 
-    Real/imag parts are stacked into ONE operand per factor multiply (the
-    'concat trick'), halving the in-kernel dot count — the remote Mosaic
-    compile helper falls over past roughly 40 dots per kernel (probed)."""
+        def dots_l(pack, a):
+            ah = a.astype(_BF16)
+            al = (a - ah.astype(_F32)).astype(_BF16)
+            d = lambda p, q: jnp.dot(p, q, preferred_element_type=_F32)
+            return d(pack[0], ah) + d(pack[1], ah) + d(pack[0], al)
+
+    elif precision == "bf16":
+
+        def dots_l(pack, a):
+            return jnp.dot(pack[0], a.astype(_BF16),
+                           preferred_element_type=_F32)
+
+    else:  # "highest"
+
+        def dots_l(pack, a):
+            return jax.lax.dot(
+                pack[0], a,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=_F32,
+            )
+
+    return dots_l
+
+
+def _stage_b_chunk(zr, zi, hr, hi, mix_t, bias_col, dots, dots_l, tc, c, m):
+    """One K-chunk: (M, C, tc) spectra pair -> H-forward DFT -> channel mix
+    + ReLU -> inverse H DFT -> (M, C, tc).
+
+    Two op-count tricks keep the Mosaic compile fast (the remote compile
+    helper times out when a program's Mosaic compile passes ~150 s):
+    * real/imag parts stack into ONE operand per factor multiply;
+    * the channel mix runs on C-MAJOR rows as a LEFT multiplication by the
+      transposed mix matrix over a (2C, tc*M) view — zero transposes,
+      where the lanes-last formulation needed four 2-transpose chains."""
     r = c * tc
     z = jnp.concatenate(
         [_to_rows(zr, c, tc, m), _to_rows(zi, c, tc, m)], axis=0
@@ -200,29 +231,19 @@ def _stage_b1_chunk(zr, zi, hr, hi, mix, bias, dots, tc, c, m):
     or_ = a[:r] - b[r:]                               # Re of F_H @ z
     oi_ = b[:r] + a[r:]                               # Im
 
-    def to_km_c(t):                                   # (C*tc, M) -> (tc*M, C)
-        t = t.reshape(c, tc, m).transpose(1, 0, 2)    # (tc, C, M)
-        return t.transpose(0, 2, 1).reshape(tc * m, c)
-
-    def from_km_c(t):                                 # (tc*M, C) -> (C*tc, M)
-        t = t.reshape(tc, m, c).transpose(0, 2, 1)    # (tc, C, M)
-        return t.transpose(1, 0, 2).reshape(c * tc, m)
-
-    sp = jnp.concatenate([to_km_c(or_), to_km_c(oi_)], axis=1)
-    (sp,) = dots(sp, mix)
-    sp = jnp.maximum(sp + bias, 0.0)
-    re = from_km_c(sp[:, :c])
-    im = from_km_c(sp[:, c:])
-    return _from_rows(re, c, tc, m), _from_rows(im, c, tc, m)
-
-
-def _stage_b2_chunk(re, im, hr, hi, dots, tc, c, m):
-    """One K-chunk: mixed spectrum (M, C, tc) pair -> inverse H-axis DFT
-    with conjugate factors: (hr - i*hi) @ (re + i*im)."""
-    r = c * tc
-    e = jnp.concatenate(
-        [_to_rows(re, c, tc, m), _to_rows(im, c, tc, m)], axis=0
+    # mix + ReLU: rows are (C, tc)-major, so (R, M) reshapes losslessly to
+    # (C, tc*M); stacking re/im gives the (2C, tc*M) operand and the mix is
+    # mix^T @ S (out[d] = sum_c S[c] * mix[c, d])
+    s = jnp.concatenate(
+        [or_.reshape(c, tc * m), oi_.reshape(c, tc * m)], axis=0
     )
+    s = dots_l(mix_t, s) + bias_col
+    s = jnp.maximum(s, 0.0)
+    re = s[:c].reshape(r, m)
+    im = s[c:].reshape(r, m)
+
+    # inverse H with conjugate factors: (hr - i*hi) @ (re + i*im)
+    e = jnp.concatenate([re, im], axis=0)
     p, q = dots(e, hr, hi)                            # e@hr, e@hi
     tr = p[:r] + q[r:]                                # re@hr + im@hi
     ti = p[r:] - q[:r]                                # im@hr - re@hi
@@ -346,8 +367,6 @@ def spectral_branch_tiled(
     k = w // 2 + 1
     kp = ((k + tk - 1) // tk) * tk
     wr, wi, hr, hi, ga, gb = _factors(h, w, kp, precision)
-    mixp = _pack_traced(mix, precision)
-    biasr = bias.astype(_F32)[None]
     dots = _make_dots(precision)
 
     # stage boundaries: 4-D (N, H, C, Kp) — Kp in lanes (128-aligned tiles),
@@ -379,60 +398,40 @@ def spectral_branch_tiled(
         interpret=interpret,
     )(x, wr, wi)
 
-    # ---- stage B: H-forward + mix/ReLU (B1), then H-inverse (B2) ----
-    # Two kernels, each looping over `tc`-column chunks of the 128-column
-    # K-tile: bounds both VMEM liveness AND the per-kernel op count (the
-    # remote Mosaic compile helper falls over past ~40 dots/kernel).
+    # ---- stage B: H-forward + mix/ReLU + H-inverse, per K-tile ----
+    # One kernel, looping over `tc`-column chunks of the 128-column K-tile:
+    # chunking bounds VMEM liveness; the concat-trick dots and the
+    # rearrange-free left-multiplied mix keep the Mosaic compile fast (the
+    # remote compile helper times out past ~150 s of compile).
     tc = 64
+    dots_l = _make_dots_left(precision)
+    mix_t = _pack_traced(mix.T, precision)
+    bias_col = bias.astype(_F32)[:, None]
 
-    def kern_b1(zr_ref, zi_ref, hr_r, hi_r, mix_r, b_r, re_ref, im_ref):
+    def kern_b(zr_ref, zi_ref, hr_r, hi_r, mix_r, b_r, tr_ref, ti_ref):
         for k0 in range(0, tk, tc):
-            re, im = _stage_b1_chunk(
+            tr, ti = _stage_b_chunk(
                 zr_ref[0, :, :, k0:k0 + tc], zi_ref[0, :, :, k0:k0 + tc],
-                hr_r, hi_r, mix_r, b_r[0], dots, tc, c, h,
-            )
-            re_ref[0, :, :, k0:k0 + tc] = re
-            im_ref[0, :, :, k0:k0 + tc] = im
-
-    re_arr, im_arr = pl.pallas_call(
-        kern_b1,
-        out_shape=(z_shape, z_shape),
-        grid_spec=pl.GridSpec(
-            grid=(n, kp // tk),
-            in_specs=[
-                zk_block(), zk_block(),
-                _full_spec(hr.shape), _full_spec(hi.shape),
-                _full_spec(mixp.shape), _full_spec((1, 2 * c)),
-            ],
-            out_specs=(zk_block(), zk_block()),
-        ),
-        compiler_params=None if interpret else vmem(120),
-        interpret=interpret,
-    )(zr_arr, zi_arr, hr, hi, mixp, biasr)
-
-    def kern_b2(re_ref, im_ref, hr_r, hi_r, tr_ref, ti_ref):
-        for k0 in range(0, tk, tc):
-            tr, ti = _stage_b2_chunk(
-                re_ref[0, :, :, k0:k0 + tc], im_ref[0, :, :, k0:k0 + tc],
-                hr_r, hi_r, dots, tc, c, h,
+                hr_r, hi_r, mix_r, b_r[:], dots, dots_l, tc, c, h,
             )
             tr_ref[0, :, :, k0:k0 + tc] = tr
             ti_ref[0, :, :, k0:k0 + tc] = ti
 
     tr_arr, ti_arr = pl.pallas_call(
-        kern_b2,
+        kern_b,
         out_shape=(z_shape, z_shape),
         grid_spec=pl.GridSpec(
             grid=(n, kp // tk),
             in_specs=[
                 zk_block(), zk_block(),
                 _full_spec(hr.shape), _full_spec(hi.shape),
+                _full_spec(mix_t.shape), _full_spec((2 * c, 1)),
             ],
             out_specs=(zk_block(), zk_block()),
         ),
         compiler_params=None if interpret else vmem(120),
         interpret=interpret,
-    )(re_arr, im_arr, hr, hi)
+    )(zr_arr, zi_arr, hr, hi, mix_t, bias_col)
 
     # ---- stage C: W-axis inverse DFT (+ fused residual adds) ----
     with_res = residual is not None
