@@ -358,6 +358,135 @@ def fsim(pred: Array, target: Array, data_range: float = 1.0,
 
 
 # ---------------------------------------------------------------------------
+# HaarPSI — Haar wavelet-based perceptual similarity
+# (reference module/piq/haarpsi.py:23-144, grayscale variant)
+# ---------------------------------------------------------------------------
+
+def _haar_kernel(size: int) -> np.ndarray:
+    k = np.ones((size, size), np.float32) / size
+    k[size // 2:, :] *= -1.0
+    return k
+
+
+def haarpsi(pred: Array, target: Array, data_range: float = 1.0,
+            scales: int = 3, subsample: bool = True, c: float = 30.0,
+            alpha: float = 4.2) -> Array:
+    """HaarPSI over NHWC grayscale batches. Matches piq 0.5.2 haarpsi
+    (reference module/piq/haarpsi.py:23)."""
+    x = pred.astype(jnp.float32) / data_range * 255.0
+    y = target.astype(jnp.float32) / data_range * 255.0
+    if subsample:
+        dpad_h = x.shape[1] % 2
+        dpad_w = x.shape[2] % 2
+        x = jnp.pad(x, ((0, 0), (0, dpad_h), (0, dpad_w), (0, 0)))
+        y = jnp.pad(y, ((0, 0), (0, dpad_h), (0, dpad_w), (0, 0)))
+        pool = lambda z: jax.lax.reduce_window(
+            z, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
+        x, y = pool(x), pool(y)
+
+    def coeffs(z):
+        outs = []
+        for s in range(scales):
+            ks = 2 ** (s + 1)
+            up, dn = ks // 2 - 1, ks // 2
+            zp = jnp.pad(z, ((0, 0), (up, dn), (up, dn), (0, 0)))
+            kern_h = jnp.asarray(_haar_kernel(ks))
+            outs.append(_valid_depthwise(zp, kern_h))
+            outs.append(_valid_depthwise(zp, kern_h.T))
+        return jnp.concatenate(outs, axis=-1)  # (..., 2*scales) [s1h s1v s2h s2v s3h s3v]
+
+    cx, cy = coeffs(x), coeffs(y)
+    weights = jnp.maximum(jnp.abs(cx[..., 4:6]), jnp.abs(cy[..., 4:6]))
+    sims = []
+    for o in range(2):
+        mx = jnp.abs(cx[..., (o, o + 2)])
+        my = jnp.abs(cy[..., (o, o + 2)])
+        sm = (2.0 * mx * my + c) / (mx**2 + my**2 + c)
+        sims.append(jnp.sum(sm, axis=-1, keepdims=True) / 2.0)
+    sim_map = jnp.concatenate(sims, axis=-1)
+    eps = np.finfo(np.float32).eps
+    score = (jnp.sum(jax.nn.sigmoid(sim_map * alpha) * weights, axis=(1, 2, 3))
+             + eps) / (jnp.sum(weights, axis=(1, 2, 3)) + eps)
+    score = (jnp.log(score / (1.0 - score)) / alpha) ** 2
+    return jnp.mean(score)
+
+
+# ---------------------------------------------------------------------------
+# MDSI — mean deviation similarity index
+# (reference module/piq/mdsi.py:18-113, 'sum' combination)
+# ---------------------------------------------------------------------------
+
+_LHM = np.array([[0.2989, 0.587, 0.114],
+                 [0.3, 0.04, -0.35],
+                 [0.34, -0.6, 0.17]], np.float32)
+
+
+def _pow_complex(base: Array, exp: float):
+    """base^exp for possibly-negative real base, as (re, im) — matches piq
+    pow_for_complex (module/piq/functional/base.py:61-80)."""
+    r = jnp.abs(base) ** exp
+    phi = jnp.where(base >= 0, 0.0, np.pi) * exp
+    return r * jnp.cos(phi), r * jnp.sin(phi)
+
+
+def mdsi(pred: Array, target: Array, data_range: float = 1.0,
+         c1: float = 140.0, c2: float = 55.0, c3: float = 550.0,
+         alpha: float = 0.6, rho: float = 1.0, q: float = 0.25,
+         o: float = 0.25) -> Array:
+    """MDSI over NHWC batches (grayscale inputs are repeated to RGB, as
+    piq does). Matches piq 0.5.2 mdsi with combination='sum' (reference
+    module/piq/mdsi.py:18)."""
+    x = pred.astype(jnp.float32)
+    y = target.astype(jnp.float32)
+    if x.shape[-1] == 1:
+        x = jnp.repeat(x, 3, axis=-1)
+        y = jnp.repeat(y, 3, axis=-1)
+    x = x / data_range * 255.0
+    y = y / data_range * 255.0
+
+    ksize = max(1, round(min(x.shape[1], x.shape[2]) / 256))
+    if ksize > 1:
+        up, dn = (ksize - 1) // 2, ksize // 2
+        x = jnp.pad(x, ((0, 0), (up, dn), (up, dn), (0, 0)))
+        y = jnp.pad(y, ((0, 0), (up, dn), (up, dn), (0, 0)))
+        pool = lambda z: jax.lax.reduce_window(
+            z, 0.0, jax.lax.add, (1, ksize, ksize, 1), (1, ksize, ksize, 1),
+            "VALID") / (ksize * ksize)
+        x, y = pool(x), pool(y)
+
+    lhm = jnp.asarray(_LHM.T)
+    xl = x @ lhm                                      # (N, H, W, 3) LHM
+    yl = y @ lhm
+
+    prewitt = jnp.asarray(
+        np.array([[-1., 0., 1.], [-1., 0., 1.], [-1., 0., 1.]], np.float32) / 3
+    )
+
+    def grad(z):                                       # luminance gradient map
+        l_ = z[..., :1]
+        gx = depthwise_conv2d(l_, prewitt, 1)
+        gy = depthwise_conv2d(l_, prewitt.T, 1)
+        return jnp.sqrt(gx**2 + gy**2)
+
+    gm_x, gm_y = grad(xl), grad(yl)
+    gm_avg = grad((xl + yl) / 2.0)
+    sim = lambda a, b, cc: (2.0 * a * b + cc) / (a**2 + b**2 + cc)
+    gs = sim(gm_x, gm_y, c1) + sim(gm_x, gm_avg, c2) - sim(gm_y, gm_avg, c2)
+
+    hx, mx = xl[..., 1:2], xl[..., 2:]
+    hy, my = yl[..., 1:2], yl[..., 2:]
+    cs = (2.0 * (hx * hy + mx * my) + c3) / (hx**2 + hy**2 + mx**2 + my**2 + c3)
+
+    gcs = alpha * gs + (1.0 - alpha) * cs              # (N, H, W, 1)
+    re, im = _pow_complex(gcs, q)
+    mct_re = jnp.mean(re, axis=(1, 2), keepdims=True)
+    mct_im = jnp.mean(im, axis=(1, 2), keepdims=True)
+    dev = jnp.sqrt((re - mct_re) ** 2 + (im - mct_im) ** 2)
+    score = jnp.mean(dev**rho, axis=(1, 2, 3)) ** (o / rho)
+    return jnp.mean(score)
+
+
+# ---------------------------------------------------------------------------
 # BRISQUE — no-reference quality (reference module/piq/brisque.py:20-250)
 #
 # The 36-dim natural-scene-statistics feature pipeline (MSCN + GGD/AGGD fits

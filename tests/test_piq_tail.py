@@ -231,3 +231,40 @@ def test_dists_matches_piq(piq, rng):
     params = _vgg16_jax_params(seq)
     ours = float(dists(x3, y3, params, alpha, beta))
     np.testing.assert_allclose(ours, want, rtol=1e-3, atol=1e-5)
+
+
+def test_haarpsi_matches_piq(piq, rng):
+    import importlib as il
+
+    from mtd_gan_tpu.metrics.extra import haarpsi
+
+    hp = il.import_module("module.piq.haarpsi")
+    x, y = _pair(rng, (2, 96, 96, 1))
+    ours = float(haarpsi(x, y))
+    with torch.no_grad():
+        want = float(hp.haarpsi(_t(x), _t(y), data_range=1.0))
+    np.testing.assert_allclose(ours, want, rtol=1e-3, atol=1e-4)
+
+
+def test_haarpsi_identity_is_high(rng):
+    from mtd_gan_tpu.metrics.extra import haarpsi
+
+    x, _ = _pair(rng)
+    assert float(haarpsi(x, x)) > 0.99
+
+
+def test_mdsi_matches_piq(piq, rng):
+    import importlib as il
+
+    from mtd_gan_tpu.metrics.extra import mdsi
+
+    md = il.import_module("module.piq.mdsi")
+    x, y = _pair(rng, (2, 96, 96, 1))
+    ours = float(mdsi(x, y))
+    with torch.no_grad():
+        import warnings as w
+
+        with w.catch_warnings():
+            w.simplefilter("ignore")
+            want = float(md.mdsi(_t(x), _t(y), data_range=1.0))
+    np.testing.assert_allclose(ours, want, rtol=1e-3, atol=1e-4)
