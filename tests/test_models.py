@@ -106,3 +106,22 @@ def test_discriminator_full_image_inference(rng):
     assert seg.shape == (1, 128, 128, 1)
     assert rec.shape == (1, 128, 128, 1)
     assert bool(jnp.all(jnp.isfinite(seg)))
+
+
+def test_packed_generator_matches_standard(rng):
+    """Lane-packed grouped-conv inference == standard ResFFTGenerator on
+    the same params (4 slices packed into channels)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mtd_gan_tpu.models.mtd_gan import ResFFTGenerator
+    from mtd_gan_tpu.models.packed import packed_resfft_apply
+
+    gen = ResFFTGenerator(features=8, num_layers=2)
+    x = jax.random.uniform(rng, (4, 32, 32, 1), jnp.float32)
+    params = jax.jit(gen.init)(rng, x)["params"]
+    want = gen.apply({"params": params}, x)
+    got = packed_resfft_apply(params, x, features=8, num_layers=2,
+                              groups=4, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
