@@ -29,9 +29,34 @@ H100_PYTORCH_SLICES_PER_SEC_EST = 200.0
 TARGET = 5.0 * H100_PYTORCH_SLICES_PER_SEC_EST
 
 
+def _setup_cache():
+    """Same per-backend persistent compile cache as __graft_entry__ — the
+    big generator compiles (~13 min cold) hit it on repeat runs."""
+    import hashlib
+    import os
+    import platform
+
+    fh = hashlib.sha256(os.environ.get("XLA_FLAGS", "").encode()).hexdigest()[:8]
+    tag = f"{jax.default_backend()}-{platform.node() or 'host'}-{fh}"
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/tmp/mtd_gan_tpu_jax_cache_{tag}")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def _measure(fwd, x, batch, n_iters=20):
+    float(jnp.sum(fwd(x)))  # warmup/compile; hard sync via host fetch —
+    #                         block_until_ready can report early (tunnel)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fwd(x)
+    float(jnp.sum(out))     # drains the serial execution queue
+    return batch * n_iters / (time.perf_counter() - t0)
+
+
 def main():
     from mtd_gan_tpu.models.mtd_gan import MTDGANModel
 
+    _setup_cache()
     model = MTDGANModel(gen_features=32, num_layers=10, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(2024)
     batch = 4
@@ -42,18 +67,19 @@ def main():
     def fwd(inp):
         return model.Generator.apply({"params": params}, inp)
 
-    # warmup / compile (hard sync via host fetch — block_until_ready can
-    # report early through the axon tunnel)
-    float(jnp.sum(fwd(x)))
+    slices_per_sec = _measure(fwd, x, batch)
 
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fwd(x)
-    float(jnp.sum(out))  # drains the serial execution queue
-    dt = time.perf_counter() - t0
+    # lane-packed grouped-conv inference (same params/math, full lanes —
+    # models/packed.py); report the faster path
+    try:
+        from mtd_gan_tpu.models.packed import packed_resfft_apply
 
-    slices_per_sec = batch * n_iters / dt
+        packed = _measure(
+            lambda inp: packed_resfft_apply(params, inp), x, batch
+        )
+        slices_per_sec = max(slices_per_sec, packed)
+    except Exception as e:  # never let the experiment sink the headline
+        print(f"# packed path skipped: {type(e).__name__}", flush=True)
     print(
         json.dumps(
             {
