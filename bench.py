@@ -68,18 +68,9 @@ def main():
         return model.Generator.apply({"params": params}, inp)
 
     slices_per_sec = _measure(fwd, x, batch)
-
-    # lane-packed grouped-conv inference (same params/math, full lanes —
-    # models/packed.py); report the faster path
-    try:
-        from mtd_gan_tpu.models.packed import packed_resfft_apply
-
-        packed = _measure(
-            lambda inp: packed_resfft_apply(params, inp), x, batch
-        )
-        slices_per_sec = max(slices_per_sec, packed)
-    except Exception as e:  # never let the experiment sink the headline
-        print(f"# packed path skipped: {type(e).__name__}", flush=True)
+    # NOTE: the lane-packed grouped-conv path (models/packed.py) measured
+    # 2x SLOWER on v5e (452 vs 237 ms/batch4) — XLA lowers grouped convs
+    # poorly — so the standard path is the headline (PERF.md).
     print(
         json.dumps(
             {
