@@ -52,3 +52,19 @@ def test_generator_pallas_tiled_matches_auto(rng):
     got = gen_tiled.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_generator_pallas_fused_matches_auto(rng):
+    """spectral_impl='pallas_fused' (per-sample kernel, interpret on CPU)
+    == the einsum/fft path on the same params."""
+    from mtd_gan_tpu.models.mtd_gan import ResFFTGenerator
+
+    gen = ResFFTGenerator(features=4, num_layers=1)
+    gen_fused = ResFFTGenerator(features=4, num_layers=1,
+                                spectral_impl="pallas_fused")
+    x = jax.random.uniform(rng, (2, 32, 32, 1), jnp.float32)
+    params = jax.jit(gen.init)(rng, x)["params"]
+    want = gen.apply({"params": params}, x)
+    got = gen_fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-4)
