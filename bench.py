@@ -32,15 +32,9 @@ TARGET = 5.0 * H100_PYTORCH_SLICES_PER_SEC_EST
 def _setup_cache():
     """Same per-backend persistent compile cache as __graft_entry__ — the
     big generator compiles (~13 min cold) hit it on repeat runs."""
-    import hashlib
-    import os
-    import platform
+    import __graft_entry__
 
-    fh = hashlib.sha256(os.environ.get("XLA_FLAGS", "").encode()).hexdigest()[:8]
-    tag = f"{jax.default_backend()}-{platform.node() or 'host'}-{fh}"
-    jax.config.update("jax_compilation_cache_dir",
-                      f"/tmp/mtd_gan_tpu_jax_cache_{tag}")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    __graft_entry__._setup_cache()
 
 
 def _measure(fwd, x, batch, n_iters=20):

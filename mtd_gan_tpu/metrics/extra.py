@@ -148,6 +148,12 @@ def vif_p(pred: Array, target: Array, sigma_n_sq: float = 2.0,
     """Visual Information Fidelity (pixel domain) over NHWC grayscale
     batches; asymmetric — `pred` is the distorted image. Matches piq 0.5.2
     vif_p (reference module/piq/vif.py:33)."""
+    if pred.shape[1] < 41 or pred.shape[2] < 41:
+        # piq validates min size 41x41 (kernel 17 VALID conv at scale 1 plus
+        # three downsamples); fail loudly instead of deep in a conv shape error
+        raise ValueError(
+            f"vif_p needs inputs of at least 41x41, got {pred.shape[1:3]}"
+        )
     eps = 1e-8
     p = pred.astype(jnp.float32) / data_range
     t = target.astype(jnp.float32) / data_range
@@ -588,6 +594,13 @@ def brisque_features(x: Array, kernel_size: int = 7,
     """NHWC grayscale batch -> (N, 36) scaled BRISQUE features, matching
     piq's feature pipeline exactly (reference module/piq/brisque.py:51-66,
     216-234). Sizes must be even (2x nearest downsample == ::2 stride)."""
+    if x.shape[1] % 2 or x.shape[2] % 2:
+        # piq downsamples by interpolating to size//2; the ::2 stride here
+        # matches that only for even sizes — reject odd sizes loudly rather
+        # than silently deviating (ADVICE r2)
+        raise ValueError(
+            f"brisque_features needs even H, W; got {x.shape[1:3]}"
+        )
     luma = x[..., 0].astype(jnp.float32) / data_range * 255.0
     feats = []
     for _ in range(2):

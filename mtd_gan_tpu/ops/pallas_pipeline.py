@@ -1,0 +1,702 @@
+"""NCHW Pallas pipeline for the Res-FFT-Conv generator — round-3 perf path.
+
+The round-2 Pallas kernels tied the XLA einsum path (~237 ms/batch4 at
+512x512x32) because both sat at the same tf32 compute + HBM-traffic floor
+in an NHWC layout whose C=32 lane dim filled a quarter of the 128 lanes
+(PERF.md). This module re-lays the whole generator hot loop
+(reference arch/Ours/networks.py:24-164) out channel-major:
+
+* Activations live in HBM as ``(N, C, H*W)`` — W in lanes, fully dense.
+* The 3x3 convs/deconvs (22 of them, reference networks.py:95-164) become
+  ONE lane-dense matmul each: a 9-tap im2col built in VMEM from lane
+  rolls + row slices of a halo'd chunk, contracted as
+  ``(C_out, 9*C_in) @ (9*C_in, th*W)``. No 32-wide lane tax anywhere.
+* Spectral boundaries are ``(N, C, Kp, H)`` — H in lanes (dense), K in
+  sublanes, so K pads to 288 instead of the lane-forced 384 of round 2:
+  25% less stage-B work for free.
+* The H-axis DFTs (the FLOP-dominant term: 34 of 54 GFLOP/sample) run as
+  radix-4 Cooley-Tukey: butterfly over four 128-lane slices (VPU) +
+  per-digit twiddle + a single 128-contraction on the MXU — 4x fewer MXU
+  MACs than the dense 512x512 factor matmul (VERDICT r2 item 1a).
+* Stage boundaries default to bf16 (item 1b), halving pipeline traffic;
+  DFT dot numerics stay tf32-grade via hi/lo bf16 factor splits.
+
+Mosaic legality notes (probed on-device 2026-08-17, /tmp/probe_v3*.py):
+general reshapes between (C, t, W) and (C*t, W) / (C, t*W) forms are
+legal when the lane dim stays 128-aligned; pltpu.roll needs non-negative
+shifts; manual HBM->VMEM DMAs with dynamic 128-aligned lane offsets are
+legal (the conv halo pattern); 4-D blocks with sublane-dim blocking are
+legal.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mtd_gan_tpu.ops.dft import (_dft_h_factors, _irdft_w_factors,
+                                 _rdft_w_factors)
+
+Array = jax.Array
+_F32 = jnp.float32
+_BF16 = jnp.bfloat16
+
+
+# --------------------------------------------------------------------------
+# precision plumbing: factor packs + dot factories
+#
+# Mosaic lowers only DEFAULT (bf16) and HIGHEST (fp32 6-pass) dot
+# precisions. "tf32" emulates tensorfloat-grade numerics with hi/lo bf16
+# splits of both operands (3 passes); "bf16x2" keeps the hi/lo split on the
+# FACTOR only (2 passes) — the right mode when activations are already
+# bf16 at the stage boundary (their lo part is exactly zero).
+# --------------------------------------------------------------------------
+
+
+def _pack_np(mat: np.ndarray, precision: str) -> np.ndarray:
+    import ml_dtypes
+
+    bf16 = ml_dtypes.bfloat16
+    m = np.asarray(mat, np.float32)
+    if precision in ("tf32", "bf16x2"):
+        hi = m.astype(bf16)
+        lo = (m - hi.astype(np.float32)).astype(bf16)
+        return np.stack([hi, lo])
+    return m.astype(bf16)[None]  # "bf16"
+
+
+def _pack_traced(mat: Array, precision: str) -> Array:
+    m = mat.astype(_F32)
+    if precision in ("tf32", "bf16x2"):
+        hi = m.astype(_BF16)
+        lo = (m - hi.astype(_F32)).astype(_BF16)
+        return jnp.stack([hi, lo])
+    return m.astype(_BF16)[None]
+
+
+def _make_dots(precision: str):
+    """dots(a, *packs) -> tuple of fp32 products a @ pack_i."""
+    d = lambda p, q: jnp.dot(p, q, preferred_element_type=_F32)
+    if precision == "tf32":
+
+        def dots(a, *packs):
+            ah = a.astype(_BF16)
+            al = (a - ah.astype(_F32)).astype(_BF16)
+            return tuple(d(ah, p[0]) + d(ah, p[1]) + d(al, p[0]) for p in packs)
+
+    elif precision == "bf16x2":
+
+        def dots(a, *packs):
+            ah = a.astype(_BF16)
+            return tuple(d(ah, p[0]) + d(ah, p[1]) for p in packs)
+
+    else:  # "bf16"
+
+        def dots(a, *packs):
+            ab = a.astype(_BF16)
+            return tuple(d(ab, p[0]) for p in packs)
+
+    return dots
+
+
+def _make_dots_left(precision: str):
+    """dots_l(pack, a) -> fp32 pack @ a (pack is the LHS)."""
+    d = lambda p, q: jnp.dot(p, q, preferred_element_type=_F32)
+    if precision == "tf32":
+
+        def dots_l(pack, a):
+            ah = a.astype(_BF16)
+            al = (a - ah.astype(_F32)).astype(_BF16)
+            return d(pack[0], ah) + d(pack[1], ah) + d(pack[0], al)
+
+    elif precision == "bf16x2":
+
+        def dots_l(pack, a):
+            return d(pack[0], a.astype(_BF16)) + d(pack[1], a.astype(_BF16))
+
+    else:
+
+        def dots_l(pack, a):
+            return d(pack[0], a.astype(_BF16))
+
+    return dots_l
+
+
+# --------------------------------------------------------------------------
+# DFT factor tables
+# --------------------------------------------------------------------------
+
+
+def _pad_k(k: int) -> int:
+    """Spectral column count padded for sublane tiling / chunking."""
+    kp = ((k + 15) // 16) * 16
+    if kp > 128:
+        kp = ((k + 95) // 96) * 96
+    return kp
+
+
+@lru_cache(maxsize=16)
+def _w_tables_np(w: int, kp: int, precision: str) -> Tuple[np.ndarray, ...]:
+    """Forward/inverse W-axis real-DFT factors, zero-padded to kp columns
+    (pad columns/rows are exactly zero, so they contribute nothing even
+    after the mix bias + ReLU leak — the inverse rows kill it)."""
+    k = w // 2 + 1
+    wr, wi = _rdft_w_factors(w)
+    ga, gb = _irdft_w_factors(w)
+    wr_p = np.zeros((w, kp), np.float32)
+    wi_p = np.zeros((w, kp), np.float32)
+    wr_p[:, :k], wi_p[:, :k] = wr, wi
+    ga_p = np.zeros((kp, w), np.float32)
+    gb_p = np.zeros((kp, w), np.float32)
+    ga_p[:k], gb_p[:k] = ga, gb
+    pk = partial(_pack_np, precision=precision)
+    return pk(wr_p), pk(wi_p), pk(ga_p), pk(gb_p)
+
+
+@lru_cache(maxsize=8)
+def _h_ct_tables_np(h: int, precision: str) -> Tuple[np.ndarray, ...]:
+    """Radix-4 Cooley-Tukey tables for the H-axis ortho DFT, h = 4*m.
+
+    f_c/f_s: (m, m) sub-DFT factors carrying the FULL 1/sqrt(h) ortho
+    scale (butterfly and twiddle stages are unscaled).
+    twc/tws: (4, m) twiddles cos/sin(2*pi*q*u/h) for output digit u.
+    """
+    assert h % 4 == 0, h
+    m = h // 4
+    q = np.arange(m)
+    t = np.arange(m)
+    ang = 2.0 * np.pi * np.outer(q, t) / m
+    scale = 1.0 / np.sqrt(h)
+    f_c = (np.cos(ang) * scale).astype(np.float32)
+    f_s = (-np.sin(ang) * scale).astype(np.float32)
+    u = np.arange(4)[:, None]
+    tang = 2.0 * np.pi * u * q[None, :] / h
+    twc = np.cos(tang).astype(np.float32)
+    tws = np.sin(tang).astype(np.float32)
+    pk = partial(_pack_np, precision=precision)
+    return pk(f_c), pk(f_s), twc, tws
+
+
+@lru_cache(maxsize=8)
+def _h_dense_tables_np(h: int, precision: str) -> Tuple[np.ndarray, ...]:
+    hr, hi = _dft_h_factors(h)
+    pk = partial(_pack_np, precision=precision)
+    return pk(hr), pk(hi)
+
+
+def _full_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda *_: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+def _vmem(mb: int, interpret: bool):
+    if interpret:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
+
+
+# --------------------------------------------------------------------------
+# conv3x3: lane-dense 9-tap im2col conv over (N, C, H*W) activations
+# --------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("h", "w", "th", "relu", "residual", "has_skip",
+                     "out_dtype_name", "interpret"),
+)
+def _conv3x3_call(
+    x: Array, kmat_pack: Array, bias: Array, skip: Optional[Array],
+    h: int, w: int, th: int, relu: bool, residual: bool, has_skip: bool,
+    out_dtype_name: str, interpret: bool,
+) -> Array:
+    """x: (N, C_in, H*W); kmat_pack: (p, C_out, 9*C_in); bias: (C_out, 1).
+
+    out = [x +] [relu](kmat @ im2col(x) + bias [+ skip]) as (N, C_out, H*W).
+    Matches lax.conv_general_dilated(NHWC, HWIO, padding=1) semantics;
+    for deconvs the caller passes a spatially flipped kernel (the stride-1
+    ConvTranspose adjoint, ops/layers.py ConvTranspose).
+    """
+    n, c_in, hw = x.shape
+    c_out = kmat_pack.shape[1]
+    out_dtype = jnp.dtype(out_dtype_name)
+    dots_l = _make_dots_left("bf16" if kmat_pack.shape[0] == 1 else "bf16x2")
+    n_chunks = h // th
+    chw = th * w
+
+    def kern(*refs):
+        if has_skip:
+            x_any, km_ref, b_ref, s_ref, o_ref, ext, sem = refs
+        else:
+            x_any, km_ref, b_ref, o_ref, ext, sem = refs
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        h0 = j * th
+
+        # --- halo'd chunk DMA: ext rows = [h0-1, h0+th+1) with zero pads ---
+        @pl.when(j == 0)
+        def _():
+            ext[:, 0:w] = jnp.zeros((c_in, w), ext.dtype)
+
+        @pl.when(j == n_chunks - 1)
+        def _():
+            ext[:, (th + 1) * w:] = jnp.zeros((c_in, w), ext.dtype)
+
+        main = pltpu.make_async_copy(
+            x_any.at[i, :, pl.ds(h0 * w, chw)],
+            ext.at[:, pl.ds(w, chw)], sem.at[0])
+        main.start()
+
+        @pl.when(j > 0)
+        def _():
+            top = pltpu.make_async_copy(
+                x_any.at[i, :, pl.ds((h0 - 1) * w, w)],
+                ext.at[:, 0:w], sem.at[1])
+            top.start()
+            top.wait()
+
+        @pl.when(j < n_chunks - 1)
+        def _():
+            bot = pltpu.make_async_copy(
+                x_any.at[i, :, pl.ds((h0 + th) * w, w)],
+                ext.at[:, (th + 1) * w:], sem.at[2])
+            bot.start()
+            bot.wait()
+
+        main.wait()
+
+        # --- 9-tap im2col: rows ordered (tap, c_in), tap = (dy+1)*3+(dx+1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (c_in, chw), 1) % w
+        slabs = []
+        for dy in (-1, 0, 1):
+            base = ext[:, (1 + dy) * w:(1 + dy + th) * w]
+            # Mosaic's dynamic_rotate only handles 32-bit data — run the
+            # two shifted taps through f32 (lossless round trip for bf16)
+            base32 = base.astype(_F32)
+            for dx in (-1, 0, 1):
+                if dx == 0:
+                    s = base
+                elif dx == 1:  # sample x[w+1]: left-roll, kill col w-1
+                    s = pltpu.roll(base32, shift=chw - 1, axis=1)
+                    s = jnp.where(col == w - 1, jnp.zeros_like(s), s)
+                    s = s.astype(base.dtype)
+                else:  # sample x[w-1]: right-roll, kill col 0
+                    s = pltpu.roll(base32, shift=1, axis=1)
+                    s = jnp.where(col == 0, jnp.zeros_like(s), s)
+                    s = s.astype(base.dtype)
+                slabs.append(s)
+        x9 = jnp.concatenate(slabs, axis=0)  # (9*C_in, th*w)
+
+        acc = dots_l(km_ref, x9) + b_ref[:]
+        if has_skip:
+            acc = acc + s_ref[0].astype(_F32)
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        if residual:
+            acc = acc + ext[:, w:(th + 1) * w].astype(_F32)
+        o_ref[0] = acc.astype(o_ref.dtype)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        _full_spec(kmat_pack.shape),
+        _full_spec(bias.shape),
+    ]
+    operands = [x, kmat_pack, bias.astype(_F32)]
+    if has_skip:
+        in_specs.append(
+            pl.BlockSpec((1, c_out, chw), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM))
+        operands.append(skip)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, c_out, hw), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n, n_chunks),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, c_out, chw), lambda i, j: (i, 0, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((c_in, (th + 2) * w), x.dtype),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        ),
+        compiler_params=_vmem(100, interpret),
+        interpret=interpret,
+    )(*operands)
+
+
+def conv3x3(x, kmat_pack, bias, h, w, *, skip=None, relu=True, residual=False,
+            th=64, out_dtype=None, interpret=False):
+    out_dtype = jnp.dtype(out_dtype or x.dtype)
+    return _conv3x3_call(
+        x, kmat_pack, bias, skip, h, w, min(th, h), relu, residual,
+        skip is not None, out_dtype.name, interpret,
+    )
+
+
+def conv_kmat(kernel_hwio: Array, flip: bool = False) -> Array:
+    """(3, 3, C_in, C_out) HWIO kernel -> (C_out, 9*C_in) im2col matrix in
+    the kernel's (tap, c_in) column order; flip spatially for deconvs."""
+    k = kernel_hwio
+    if flip:
+        k = k[::-1, ::-1, :, :]
+    co = k.shape[-1]
+    return k.transpose(3, 0, 1, 2).reshape(co, -1)
+
+
+# --------------------------------------------------------------------------
+# spectral stages over (N, C, Kp, H) boundaries
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("h", "w", "precision", "bound_dtype_name",
+                                   "interpret"))
+def _stage_a_call(x, wr_p, wi_p, h, w, precision, bound_dtype_name, interpret):
+    """(N, C, H*W) -> forward W-axis rDFT -> zr, zi (N, C, Kp, H)."""
+    n, c, _ = x.shape
+    kp = wr_p.shape[-1]
+    bdt = jnp.dtype(bound_dtype_name)
+    dots = _make_dots(precision)
+    tha = 128 if h % 128 == 0 else h
+
+    def kern(x_ref, wr_r, wi_r, zr_ref, zi_ref):
+        xs = x_ref[0].reshape(c * tha, w)
+        zr, zi = dots(xs, wr_r, wi_r)                 # (C*tha, Kp)
+        zr = zr.reshape(c, tha, kp).transpose(0, 2, 1)
+        zi = zi.reshape(c, tha, kp).transpose(0, 2, 1)
+        zr_ref[0] = zr.astype(zr_ref.dtype)
+        zi_ref[0] = zi.astype(zi_ref.dtype)
+
+    z_shape = jax.ShapeDtypeStruct((n, c, kp, h), bdt)
+    zb = lambda: pl.BlockSpec((1, c, kp, tha), lambda i, j: (i, 0, 0, j),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=(z_shape, z_shape),
+        grid_spec=pl.GridSpec(
+            grid=(n, h // tha),
+            in_specs=[
+                pl.BlockSpec((1, c, tha * w), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+                _full_spec(wr_p.shape), _full_spec(wi_p.shape),
+            ],
+            out_specs=(zb(), zb()),
+        ),
+        compiler_params=_vmem(100, interpret),
+        interpret=interpret,
+    )(x, wr_p, wi_p)
+
+
+def _ct_fwd(ar, ai, f_c, f_s, twc, tws, dots, r, m):
+    """Radix-4 DIF forward DFT along lanes: (R, 4m) complex in natural
+    order -> (R, 4m) complex in digit-major order (lane p = m*u + t maps
+    to spectral index k = 4t + u)."""
+    a = [ar[:, m * s:m * (s + 1)] for s in range(4)]
+    b = [ai[:, m * s:m * (s + 1)] for s in range(4)]
+    v0r, v0i = a[0] + a[1] + a[2] + a[3], b[0] + b[1] + b[2] + b[3]
+    d02r, d02i = a[0] - a[2], b[0] - b[2]
+    d13r, d13i = a[1] - a[3], b[1] - b[3]
+    v2r, v2i = a[0] - a[1] + a[2] - a[3], b[0] - b[1] + b[2] - b[3]
+    vr = [v0r, d02r + d13i, v2r, d02r - d13i]
+    vi = [v0i, d02i - d13r, v2i, d02i + d13r]
+    # twiddle by W_h^{mu} = cos - i sin (digit 0 is the identity)
+    wr_, wi_ = [vr[0]], [vi[0]]
+    for u in (1, 2, 3):
+        tc_, ts_ = twc[u:u + 1, :], tws[u:u + 1, :]
+        wr_.append(tc_ * vr[u] + ts_ * vi[u])
+        wi_.append(tc_ * vi[u] - ts_ * vr[u])
+    zbig = jnp.concatenate(wr_ + wi_, axis=0)         # (8R, m)
+    A, B = dots(zbig, f_c, f_s)
+    xr, xi = [], []
+    for u in range(4):
+        re = A[u * r:(u + 1) * r] - B[(4 + u) * r:(5 + u) * r]
+        im = B[u * r:(u + 1) * r] + A[(4 + u) * r:(5 + u) * r]
+        xr.append(re)
+        xi.append(im)
+    return jnp.concatenate(xr, axis=1), jnp.concatenate(xi, axis=1)
+
+
+def _ct_inv(xr, xi, f_c, f_s, twc, tws, dots, r, m):
+    """Radix-4 inverse of :func:`_ct_fwd` (conjugate transform), digit-major
+    lanes in -> natural order out."""
+    ebig = jnp.concatenate(
+        [xr[:, m * u:m * (u + 1)] for u in range(4)]
+        + [xi[:, m * u:m * (u + 1)] for u in range(4)], axis=0)
+    P, Q = dots(ebig, f_c, f_s)
+    zr, zi = [], []
+    for u in range(4):
+        yr = P[u * r:(u + 1) * r] + Q[(4 + u) * r:(5 + u) * r]
+        yi = P[(4 + u) * r:(5 + u) * r] - Q[u * r:(u + 1) * r]
+        if u == 0:
+            zr.append(yr)
+            zi.append(yi)
+        else:
+            tc_, ts_ = twc[u:u + 1, :], tws[u:u + 1, :]
+            zr.append(tc_ * yr - ts_ * yi)
+            zi.append(tc_ * yi + ts_ * yr)
+        # conj twiddle W_h^{-mu} = cos + i sin
+    x0r = zr[0] + zr[1] + zr[2] + zr[3]
+    x0i = zi[0] + zi[1] + zi[2] + zi[3]
+    x1r = zr[0] - zi[1] - zr[2] + zi[3]
+    x1i = zi[0] + zr[1] - zi[2] - zr[3]
+    x2r = zr[0] - zr[1] + zr[2] - zr[3]
+    x2i = zi[0] - zi[1] + zi[2] - zi[3]
+    x3r = zr[0] + zi[1] - zr[2] - zi[3]
+    x3i = zi[0] - zr[1] - zi[2] + zr[3]
+    return (jnp.concatenate([x0r, x1r, x2r, x3r], axis=1),
+            jnp.concatenate([x0i, x1i, x2i, x3i], axis=1))
+
+
+def _dense_h_fwd(ar, ai, hr, hi, dots, r):
+    z = jnp.concatenate([ar, ai], axis=0)
+    A, B = dots(z, hr, hi)
+    return A[:r] - B[r:], B[:r] + A[r:]
+
+
+def _dense_h_inv(xr, xi, hr, hi, dots, r):
+    e = jnp.concatenate([xr, xi], axis=0)
+    P, Q = dots(e, hr, hi)
+    return P[:r] + Q[r:], P[r:] - Q[:r]
+
+
+@partial(jax.jit, static_argnames=("h", "tc", "precision", "use_ct",
+                                   "interpret"))
+def _stage_b_call(zr, zi, mix_pack, bias_col, f_c, f_s, twc, tws,
+                  h, tc, precision, use_ct, interpret):
+    """H-axis forward DFT + spectral channel mix (ReLU'd [Re;Im] 1x1 conv,
+    reference arch/Ours/networks.py:24-29) + inverse H DFT, one kernel per
+    (sample, K-chunk). Boundaries (N, C, Kp, H)."""
+    n, c, kp, _ = zr.shape
+    r = c * tc
+    m = h // 4
+    dots = _make_dots(precision)
+    dots_l = _make_dots_left(precision)
+
+    def kern(zr_ref, zi_ref, fc_r, fs_r, twc_r, tws_r, mix_r, b_r,
+             tr_ref, ti_ref):
+        ar = zr_ref[0].astype(_F32).reshape(r, h)
+        ai = zi_ref[0].astype(_F32).reshape(r, h)
+        if use_ct:
+            xr, xi = _ct_fwd(ar, ai, fc_r, fs_r, twc_r[:], tws_r[:],
+                             dots, r, m)
+        else:
+            xr, xi = _dense_h_fwd(ar, ai, fc_r, fs_r, dots, r)
+        # channel mix + ReLU on C-major rows: (R, H) -> (C, tc*H) stack
+        s = jnp.concatenate(
+            [xr.reshape(c, tc * h), xi.reshape(c, tc * h)], axis=0)
+        s = dots_l(mix_r, s) + b_r[:]
+        s = jnp.maximum(s, 0.0)
+        xr = s[:c].reshape(r, h)
+        xi = s[c:].reshape(r, h)
+        if use_ct:
+            tr, ti = _ct_inv(xr, xi, fc_r, fs_r, twc_r[:], tws_r[:],
+                             dots, r, m)
+        else:
+            tr, ti = _dense_h_inv(xr, xi, fc_r, fs_r, dots, r)
+        tr_ref[0] = tr.reshape(c, tc, h).astype(tr_ref.dtype)
+        ti_ref[0] = ti.reshape(c, tc, h).astype(ti_ref.dtype)
+
+    zb = lambda: pl.BlockSpec((1, c, tc, h), lambda i, j: (i, 0, j, 0),
+                              memory_space=pltpu.VMEM)
+    z_shape = jax.ShapeDtypeStruct(zr.shape, zr.dtype)
+    return pl.pallas_call(
+        kern,
+        out_shape=(z_shape, z_shape),
+        grid_spec=pl.GridSpec(
+            grid=(n, kp // tc),
+            in_specs=[
+                zb(), zb(),
+                _full_spec(f_c.shape), _full_spec(f_s.shape),
+                _full_spec(twc.shape), _full_spec(tws.shape),
+                _full_spec(mix_pack.shape), _full_spec(bias_col.shape),
+            ],
+            out_specs=(zb(), zb()),
+        ),
+        compiler_params=_vmem(110, interpret),
+        interpret=interpret,
+    )(zr, zi, f_c, f_s, twc, tws, mix_pack, bias_col)
+
+
+@partial(jax.jit, static_argnames=("h", "w", "precision", "out_dtype_name",
+                                   "interpret"))
+def _stage_c_call(tr, ti, ga_p, gb_p, res, h, w, precision, out_dtype_name,
+                  interpret):
+    """Inverse W-axis rDFT (+ Hermitian fold) with the block's residual
+    fused into the epilogue: out = res + irdft_W(t). (N, C, Kp, H) ->
+    (N, C, H*W)."""
+    n, c, kp, _ = tr.shape
+    odt = jnp.dtype(out_dtype_name)
+    dots = _make_dots(precision)
+    tha = 128 if h % 128 == 0 else h
+    rr = c * tha
+
+    def kern(tr_ref, ti_ref, ga_r, gb_r, r_ref, o_ref):
+        a = tr_ref[0].astype(_F32).transpose(0, 2, 1).reshape(rr, kp)
+        b = ti_ref[0].astype(_F32).transpose(0, 2, 1).reshape(rr, kp)
+        e = jnp.concatenate([a, b], axis=0)
+        U, V = dots(e, ga_r, gb_r)
+        out = U[:rr] + V[rr:]                          # (C*tha, W)
+        out = out.reshape(c, tha * w) + r_ref[0].astype(_F32)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+    tb = lambda: pl.BlockSpec((1, c, kp, tha), lambda i, j: (i, 0, 0, j),
+                              memory_space=pltpu.VMEM)
+    ib = lambda: pl.BlockSpec((1, c, tha * w), lambda i, j: (i, 0, j),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, c, h * w), odt),
+        grid_spec=pl.GridSpec(
+            grid=(n, h // tha),
+            in_specs=[tb(), tb(), _full_spec(ga_p.shape),
+                      _full_spec(gb_p.shape), ib()],
+            out_specs=ib(),
+        ),
+        compiler_params=_vmem(100, interpret),
+        interpret=interpret,
+    )(tr, ti, ga_p, gb_p, res)
+
+
+# --------------------------------------------------------------------------
+# fused Res-FFT-Conv block + full generator chain
+# --------------------------------------------------------------------------
+
+
+def _spectral_tables(h, w, precision):
+    kp = _pad_k(w // 2 + 1)
+    wr_p, wi_p, ga_p, gb_p = (jnp.asarray(t)
+                              for t in _w_tables_np(w, kp, precision))
+    use_ct = h % 4 == 0 and (h // 4) % 8 == 0
+    if use_ct:
+        f_c, f_s, twc, tws = _h_ct_tables_np(h, precision)
+    else:
+        f_c, f_s = _h_dense_tables_np(h, precision)
+        twc = tws = np.zeros((4, 1), np.float32)
+    return (kp, use_ct, wr_p, wi_p, ga_p, gb_p, jnp.asarray(f_c),
+            jnp.asarray(f_s), jnp.asarray(twc), jnp.asarray(tws))
+
+
+def _pick_tc(kp: int) -> int:
+    return 96 if kp % 96 == 0 else kp
+
+
+def fft_block_nchw(x, img_kmat_pack, img_bias, mix_pack, bias_col,
+                   h, w, precision="tf32", bound_dtype=jnp.bfloat16,
+                   interpret=False):
+    """One Res-FFT-Conv block (reference arch/Ours/networks.py:15-36) on an
+    (N, C, H*W) channel-major activation:
+    out = x + relu(conv3x3(x)+b) + irfft2(relu(mix([Re;Im] rfft2(x)))).
+    """
+    (kp, use_ct, wr_p, wi_p, ga_p, gb_p, f_c, f_s, twc, tws) = (
+        _spectral_tables(h, w, precision))
+    res = conv3x3(x, img_kmat_pack, img_bias, h, w, relu=True, residual=True,
+                  interpret=interpret)
+    zr, zi = _stage_a_call(x, wr_p, wi_p, h, w, precision,
+                           jnp.dtype(bound_dtype).name, interpret)
+    tr, ti = _stage_b_call(zr, zi, mix_pack, bias_col, f_c, f_s, twc, tws,
+                           h, _pick_tc(kp), precision, use_ct, interpret)
+    return _stage_c_call(tr, ti, ga_p, gb_p, res, h, w, precision,
+                         jnp.dtype(x.dtype).name, interpret)
+
+
+def prep_generator_params(params, num_layers: int, conv_precision: str = "bf16",
+                          mix_precision: str = "tf32"):
+    """Flax ResFFTGenerator param tree -> packed pipeline weights.
+
+    Returns a dict of stacked/packed arrays; pure jnp ops so it can run
+    inside jit (weights are tiny)."""
+    L = num_layers
+    out = {"enc0_k": params["enc_0"]["kernel"],
+           "enc0_b": params["enc_0"]["bias"],
+           "dec0_k": params["dec_0"]["kernel"],
+           "dec0_b": params["dec_0"]["bias"]}
+    enc, dec, blocks = [], [], []
+    for i in range(1, L + 1):
+        p = params[f"enc_{i}"]
+        enc.append((_pack_traced(conv_kmat(p["kernel"]), conv_precision),
+                    p["bias"][:, None].astype(_F32)))
+        p = params[f"dec_{i}"]
+        dec.append((_pack_traced(conv_kmat(p["kernel"], flip=True),
+                                 conv_precision),
+                    p["bias"][:, None].astype(_F32)))
+    for i in range(2 * L + 1):
+        p = params[f"fft_{i}"]
+        blocks.append((
+            _pack_traced(conv_kmat(p["img_kernel"]), conv_precision),
+            p["img_bias"][:, None].astype(_F32),
+            _pack_traced(p["fft_kernel"].T, mix_precision),
+            p["fft_bias"][:, None].astype(_F32),
+        ))
+    out["enc"], out["dec"], out["blocks"] = enc, dec, blocks
+    return out
+
+
+def resfft_generator_nchw(params, x, num_layers: int = 10,
+                          precision: str = "tf32",
+                          conv_precision: str = "bf16",
+                          act_dtype=jnp.bfloat16,
+                          interpret: Optional[bool] = None):
+    """Full ResFFT generator forward (reference arch/Ours/networks.py:95-164)
+    through the channel-major Pallas pipeline.
+
+    params: the flax ResFFTGenerator "params" tree (trained with the einsum
+    path — identical parameter structure). x: (N, H, W, 1). Returns
+    (N, H, W, 1) in x.dtype.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, h, w, _ = x.shape
+    L = num_layers
+    pp = prep_generator_params(params, L, conv_precision=conv_precision)
+    act = jnp.dtype(act_dtype)
+
+    # entry conv (C_in=1) in XLA NHWC, then channel-major
+    h0 = jax.lax.conv_general_dilated(
+        x.astype(act), pp["enc0_k"].astype(act), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    h0 = jax.nn.relu(h0 + pp["enc0_b"].astype(act))
+    a = jnp.transpose(h0, (0, 3, 1, 2)).reshape(n, -1, h * w)
+    c = a.shape[1]
+
+    def blk(a, i):
+        km, kb, mixp, mb = pp["blocks"][i]
+        return fft_block_nchw(a, km, kb, mixp, mb, h, w, precision=precision,
+                              interpret=interpret)
+
+    skips = []
+    for i in range(L):
+        if i > 0:
+            km, kb = pp["enc"][i - 1]
+            a = conv3x3(a, km, kb, h, w, relu=True, interpret=interpret)
+        a = blk(a, i)
+        skips.append(a)
+
+    km, kb = pp["enc"][L - 1]
+    a = conv3x3(a, km, kb, h, w, relu=True, interpret=interpret)
+    a = blk(a, L)
+
+    km, kb = pp["dec"][L - 1]
+    a = conv3x3(a, km, kb, h, w, skip=skips[L - 1], relu=True,
+                interpret=interpret)
+    for i in range(L - 1, 0, -1):
+        a = blk(a, 2 * L - i)
+        km, kb = pp["dec"][i - 1]
+        a = conv3x3(a, km, kb, h, w, skip=skips[i - 1], relu=True,
+                    interpret=interpret)
+    a = blk(a, 2 * L)
+
+    # exit deconv (C_out=1) + final residual relu in XLA NHWC
+    hh = jnp.transpose(a.reshape(n, c, h, w), (0, 2, 3, 1))
+    flip = pp["dec0_k"][::-1, ::-1, :, :]
+    y = jax.lax.conv_general_dilated(
+        hh.astype(act), flip.astype(act), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + pp["dec0_b"].astype(act)
+    return jax.nn.relu(y.astype(_F32) + x.astype(_F32)).astype(x.dtype)
