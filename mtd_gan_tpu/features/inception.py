@@ -147,6 +147,11 @@ def init_inception_params(rng: Optional[jax.Array] = None) -> Dict:
             "mean": jnp.zeros((cout,), jnp.float32),
             "var": jnp.ones((cout,), jnp.float32),
         }
+    rng, k = jax.random.split(rng)
+    params["fc"] = {
+        "kernel": jax.random.normal(k, (2048, 1008), jnp.float32) * 0.02,
+        "bias": jnp.zeros((1008,), jnp.float32),
+    }
     return params
 
 
@@ -160,6 +165,13 @@ def import_torch_inception(sd) -> Dict:
             "bias": jnp.asarray(np.asarray(sd[f"{name}.bn.bias"])),
             "mean": jnp.asarray(np.asarray(sd[f"{name}.bn.running_mean"])),
             "var": jnp.asarray(np.asarray(sd[f"{name}.bn.running_var"])),
+        }
+    # classifier head (pt_inception FID weights carry fc with 1008 classes;
+    # torchvision inception_v3 with 1000) — needed for Inception Score
+    if "fc.weight" in sd:
+        params["fc"] = {
+            "kernel": jnp.asarray(np.asarray(sd["fc.weight"]).T),
+            "bias": jnp.asarray(np.asarray(sd["fc.bias"])),
         }
     return params
 
@@ -263,3 +275,11 @@ def inception_pool3_features(params: Dict, x: Array) -> Array:
     h = _inception_e(params, "Mixed_7b", h, pool="avg")
     h = _inception_e(params, "Mixed_7c", h, pool="max")
     return jnp.mean(h, axis=(1, 2))
+
+
+def inception_logits(params: Dict, x: Array) -> Array:
+    """[0,1] NHWC batch -> (B, n_classes) raw classifier logits — the input
+    piq's Inception Score expects (reference module/piq/isc.py:20-42)."""
+    feats = inception_pool3_features(params, x)
+    fc = params["fc"]
+    return feats @ fc["kernel"] + fc["bias"]

@@ -642,3 +642,202 @@ def kid(feats_x: np.ndarray, feats_y: np.ndarray, degree: int = 3,
     sum_xx = (kxx.sum() - np.trace(kxx)) / (m * (m - 1))
     sum_yy = (kyy.sum() - np.trace(kyy)) / (n * (n - 1))
     return float(sum_xx + sum_yy - 2 * kxy.mean())
+
+
+# ---------------------------------------------------------------------------
+# Inception Score (piq/isc semantics)
+# ---------------------------------------------------------------------------
+
+def inception_score(features: Array, num_splits: int = 10):
+    """Inception Score from raw InceptionV3 logits (N, n_classes), matching
+    piq 0.5.2 (reference module/piq/isc.py:20-56): softmax -> per-split
+    exp(mean KL(p(y|x) || p(y))) -> (mean, std) over splits (std ddof=1).
+
+    Use features/inception.inception_logits to produce the logits."""
+    probas = jax.nn.softmax(jnp.asarray(features, jnp.float32), axis=-1)
+    n = probas.shape[0]
+    part = n // num_splits
+    scores = []
+    for i in range(num_splits):
+        subset = probas[i * part:(i + 1) * part]
+        p_y = jnp.mean(subset, axis=0)
+        # kl_div(log p_y, p_yx) summed = sum p_yx * (log p_yx - log p_y)
+        kl = jnp.sum(
+            subset * (jnp.log(subset + 1e-30) - jnp.log(p_y + 1e-30)[None]),
+            axis=-1,
+        )
+        scores.append(jnp.exp(jnp.mean(kl)))
+    scores = jnp.stack(scores)
+    return jnp.mean(scores), jnp.std(scores, ddof=1)
+
+
+def inception_score_diff(pred_logits: Array, target_logits: Array,
+                         num_splits: int = 10) -> Array:
+    """piq's IS metric value: |IS(target) - IS(pred)|
+    (reference module/piq/isc.py:59-99 compute_metric)."""
+    p, _ = inception_score(pred_logits, num_splits)
+    t, _ = inception_score(target_logits, num_splits)
+    return jnp.abs(t - p)
+
+
+# ---------------------------------------------------------------------------
+# VSI — Visual Saliency-induced Index (reference module/piq/vsi.py:18-264)
+# ---------------------------------------------------------------------------
+
+_RGB2LMN = np.array([[0.06, 0.63, 0.27],
+                     [0.30, 0.04, -0.35],
+                     [0.34, -0.6, 0.17]], np.float32)
+_RGB2XYZ = np.array([[0.4124564, 0.3575761, 0.1804375],
+                     [0.2126729, 0.7151522, 0.0721750],
+                     [0.0193339, 0.1191920, 0.9503041]], np.float32)
+_D50_2 = np.array([0.9642119944211994, 1.0, 0.8251882845188288], np.float32)
+
+
+def _rgb2lmn(x: Array) -> Array:                      # NHWC, C=3
+    return x @ jnp.asarray(_RGB2LMN).T
+
+
+def _rgb2lab(x: Array, data_range: float = 255.0) -> Array:
+    """sRGB -> CIELAB, D50/2 illuminant (piq colour_conversion.py:22-87)."""
+    x = x / data_range
+    srgb = jnp.where(x <= 0.04045, x / 12.92,
+                     jnp.power(jnp.abs((x + 0.055) / 1.055), 2.4))
+    xyz = srgb @ jnp.asarray(_RGB2XYZ).T
+    tmp = xyz / jnp.asarray(_D50_2)
+    eps_, kappa = 0.008856, 903.3
+    tmp = jnp.where(tmp > eps_, jnp.cbrt(tmp), (kappa * tmp + 16.0) / 116.0)
+    w = jnp.asarray(np.array([[0, 116.0, 0], [500.0, -500.0, 0],
+                              [0, 200.0, -200.0]], np.float32))
+    return tmp @ w.T + jnp.asarray(np.array([-16.0, 0, 0], np.float32))
+
+
+def _resize_align_corners(x: Array, size) -> Array:
+    """Bilinear resize with torch align_corners=True semantics (NHWC)."""
+    from jax.scipy.ndimage import map_coordinates
+
+    n, h, w, c = x.shape
+    oh, ow = size
+    rows = jnp.arange(oh) * ((h - 1) / max(oh - 1, 1))
+    cols = jnp.arange(ow) * ((w - 1) / max(ow - 1, 1))
+    rr, cc = jnp.meshgrid(rows, cols, indexing="ij")
+
+    def one(img):  # (H, W)
+        return map_coordinates(img, [rr, cc], order=1, mode="nearest")
+
+    return jax.vmap(jax.vmap(one, in_axes=-1, out_axes=-1))(x)
+
+
+lru_cache_tables = {}
+
+
+def _sdsp_tables(size: int, omega_0: float, sigma_f: float, sigma_d: float):
+    key = (size, omega_0, sigma_f, sigma_d)
+    if key not in lru_cache_tables:
+        gx, gy = _meshgrid_np(size, size)
+        radius = np.sqrt(gx**2 + gy**2)
+        r = radius * (radius <= 0.5)
+        r = _ifftshift_np(r)
+        r[0, 0] = 1.0
+        lg = np.exp(-(np.log(r / omega_0) ** 2) / (2 * sigma_f**2))
+        lg[0, 0] = 0.0
+        coords = (np.stack([gx, gy]) * size + 1).astype(np.float32)
+        s_d = np.exp(-np.sum(coords**2, axis=0) / sigma_d**2).astype(np.float32)
+        lru_cache_tables[key] = (lg.astype(np.float32), s_d)
+    return lru_cache_tables[key]
+
+
+def _sdsp(x: Array, omega_0=0.021, sigma_f=1.34, sigma_d=145.0,
+          sigma_c=0.001) -> Array:
+    """SDSP salient-region detection (reference module/piq/vsi.py:197-239).
+    x: NHWC RGB in [0, 255]. Returns (N, H, W, 1) saliency in [0, 1]."""
+    from mtd_gan_tpu.ops.dft import fft2_matmul, ifft2_matmul
+
+    n, h, w, _ = x.shape
+    size = 256
+    xs = jax.image.resize(x, (n, size, size, 3), method="bilinear")
+    lab = _rgb2lab(xs, data_range=255.0)
+
+    lg, s_d = _sdsp_tables(size, omega_0, sigma_f, sigma_d)
+    rows = jnp.transpose(lab, (0, 3, 1, 2)).reshape(n * 3, size, size)
+    fr, fi = fft2_matmul(rows)
+    lgj = jnp.asarray(lg)
+    rr, _ = ifft2_matmul(fr * lgj, fi * lgj)
+    rr = rr.reshape(n, 3, size, size)
+    s_f = jnp.sqrt(jnp.sum(rr**2, axis=1))            # (N, 256, 256)
+
+    eps_ = np.finfo(np.float32).eps
+    mn = jnp.min(lab, axis=(1, 2), keepdims=True)
+    mx = jnp.max(lab, axis=(1, 2), keepdims=True)
+    normalized = (lab - mn) / (mx - mn + eps_)
+    norm = jnp.sum(normalized[..., 1:] ** 2, axis=-1)
+    s_c = 1.0 - jnp.exp(-norm / sigma_c**2)
+
+    vs_m = (s_f * jnp.asarray(s_d) * s_c)[..., None]  # (N, 256, 256, 1)
+    vs_m = _resize_align_corners(vs_m, (h, w))
+    mn = jnp.min(vs_m, axis=(1, 2), keepdims=True)
+    mx = jnp.max(vs_m, axis=(1, 2), keepdims=True)
+    return (vs_m - mn) / (mx - mn + eps_)
+
+
+def vsi(pred: Array, target: Array, data_range: float = 1.0,
+        c1: float = 1.27, c2: float = 386.0, c3: float = 130.0,
+        alpha: float = 0.4, beta: float = 0.02, omega_0: float = 0.021,
+        sigma_f: float = 1.34, sigma_d: float = 145.0,
+        sigma_c: float = 0.001) -> Array:
+    """Visual Saliency-induced Index over NHWC batches (grayscale inputs
+    are repeated to RGB, as piq does). Matches piq 0.5.2 vsi
+    (reference module/piq/vsi.py:18-119)."""
+    if pred.shape[-1] == 1:
+        pred = jnp.repeat(pred, 3, axis=-1)
+        target = jnp.repeat(target, 3, axis=-1)
+    p = pred.astype(jnp.float32) * 255.0 / data_range
+    t = target.astype(jnp.float32) * 255.0 / data_range
+
+    vs_p = _sdsp(p, omega_0, sigma_f, sigma_d, sigma_c)
+    vs_t = _sdsp(t, omega_0, sigma_f, sigma_d, sigma_c)
+    p_lmn = _rgb2lmn(p)
+    t_lmn = _rgb2lmn(t)
+
+    h, w = p.shape[1:3]
+    ks = max(1, round(min(h, w) / 256))
+    if ks > 1:
+        up, bp = ks // 2, (ks - 1) // 2
+        padhw = [(0, 0), (up, bp), (up, bp), (0, 0)]
+        vs_p = jnp.pad(vs_p, padhw, mode="edge")
+        vs_t = jnp.pad(vs_t, padhw, mode="edge")
+        p_lmn = jnp.pad(p_lmn, padhw, mode="edge")
+        t_lmn = jnp.pad(t_lmn, padhw, mode="edge")
+
+        def pool(z):
+            return jax.lax.reduce_window(
+                z, 0.0, jax.lax.add, (1, ks, ks, 1), (1, ks, ks, 1), "VALID"
+            ) / (ks * ks)
+
+        vs_p, vs_t = pool(vs_p), pool(vs_t)
+        p_lmn, t_lmn = pool(p_lmn), pool(t_lmn)
+
+    scharr = np.array([[-3.0, 0, 3], [-10, 0, 10], [-3, 0, 3]],
+                      np.float32) / 16
+
+    def grad_map(z):  # z: (N, H, W) L channel
+        gx = depthwise_conv2d(z[..., None], jnp.asarray(scharr), 1)
+        gy = depthwise_conv2d(z[..., None], jnp.asarray(scharr.T), 1)
+        return jnp.sqrt(gx**2 + gy**2)
+
+    sim = lambda a, b, c: (2.0 * a * b + c) / (a**2 + b**2 + c)
+    gm_p = grad_map(p_lmn[..., 0])
+    gm_t = grad_map(t_lmn[..., 0])
+    s_vs = sim(vs_p, vs_t, c1)
+    s_gm = sim(gm_p, gm_t, c2)
+    s_m = sim(p_lmn[..., 1:2], t_lmn[..., 1:2], c3)
+    s_n = sim(p_lmn[..., 2:3], t_lmn[..., 2:3], c3)
+    s_c = s_m * s_n
+    # real part of s_c ** beta for possibly-negative s_c
+    s_c_pow = jnp.abs(s_c) ** beta * jnp.cos(
+        beta * jnp.arctan2(jnp.zeros_like(s_c), s_c))
+    s = s_vs * jnp.abs(s_gm) ** alpha * s_c_pow
+    vs_max = jnp.maximum(vs_p, vs_t)
+    eps_ = np.finfo(np.float32).eps
+    out = (jnp.sum(s * vs_max, axis=(1, 2, 3)) + eps_) / (
+        jnp.sum(vs_max, axis=(1, 2, 3)) + eps_)
+    return jnp.mean(out)

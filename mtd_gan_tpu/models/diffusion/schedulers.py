@@ -65,6 +65,47 @@ class BaseScheduler:
         ratio = self.num_train_timesteps // num_inference_steps
         return (np.arange(0, num_inference_steps) * ratio)[::-1].copy()
 
+    # -- generic sampling over per-scheduler scan pieces ------------------
+    # Each scheduler defines _scan_init(noise, rng, n) -> (carry0, xs) and
+    # _scan_body(eps_fn, n) -> body; carry[0] is always the sample. This
+    # lets the reverse chain run either as ONE lax.scan program or as
+    # host-synced SEGMENTS of the same body (the 1000-step DDPM chain at
+    # 512x512 crashed the TPU worker as a single ~280 s device program —
+    # PERF.md r2; VERDICT r3 item 5).
+
+    def sample(self, rng: Array, eps_fn: Callable[[Array, Array], Array],
+               noise: Array, num_inference_steps: Optional[int] = None) -> Array:
+        n = num_inference_steps or self.default_inference_steps
+        carry0, xs = self._scan_init(noise, rng, n)
+        carry, _ = jax.lax.scan(self._scan_body(eps_fn, n), carry0, xs)
+        return carry[0]
+
+    def sample_segmented(self, rng: Array, eps_fn, noise: Array,
+                         num_inference_steps: Optional[int] = None,
+                         segment_len: int = 100) -> Array:
+        """Host-synced segmented reverse chain: identical math to
+        :meth:`sample` (the carry threads across segments), but each
+        segment is its own device program so no single launch exceeds
+        runtime watchdogs. eps_fn must be jittable; params it closes over
+        are traced per segment shape (one compile for equal segments)."""
+        n = num_inference_steps or self.default_inference_steps
+        carry0, xs = self._scan_init(noise, rng, n)
+        body = self._scan_body(eps_fn, n)
+
+        @jax.jit
+        def seg(carry, xs_seg):
+            carry, _ = jax.lax.scan(body, carry, xs_seg)
+            return carry
+
+        total = jax.tree_util.tree_leaves(xs)[0].shape[0]
+        carry = carry0
+        for i in range(0, total, segment_len):
+            xs_seg = jax.tree_util.tree_map(
+                lambda a: a[i:i + segment_len], xs)
+            carry = seg(carry, xs_seg)
+            jax.block_until_ready(carry[0])
+        return carry[0]
+
     def _pred_x0(self, sample: Array, eps: Array, acp_t: Array) -> Array:
         x0 = (sample - jnp.sqrt(1.0 - acp_t) * eps) / jnp.sqrt(acp_t)
         if self.clip_sample:
@@ -76,12 +117,10 @@ class BaseScheduler:
 class DDPMScheduler(BaseScheduler):
     default_inference_steps: int = 1000
 
-    def sample(self, rng: Array, eps_fn: Callable[[Array, Array], Array],
-               noise: Array, num_inference_steps: Optional[int] = None) -> Array:
-        steps = jnp.asarray(
-            self.inference_timesteps(num_inference_steps
-                                     or self.default_inference_steps)
-        )
+    def _scan_init(self, noise, rng, n):
+        return (noise, rng), jnp.asarray(self.inference_timesteps(n))
+
+    def _scan_body(self, eps_fn, n):
         acp = self._alphas_cumprod
         betas = self._betas
 
@@ -103,8 +142,7 @@ class DDPMScheduler(BaseScheduler):
             x = mean + jnp.where(t > 0, jnp.sqrt(jnp.clip(var, 1e-20)), 0.0) * z
             return (x, rng), None
 
-        (x, _), _ = jax.lax.scan(body, (noise, rng), steps)
-        return x
+        return body
 
 
 @dataclasses.dataclass(frozen=True)
@@ -112,10 +150,10 @@ class DDIMScheduler(BaseScheduler):
     default_inference_steps: int = 50
     eta: float = 0.0
 
-    def sample(self, rng: Array, eps_fn, noise: Array,
-               num_inference_steps: Optional[int] = None) -> Array:
-        n = num_inference_steps or self.default_inference_steps
-        steps = jnp.asarray(self.inference_timesteps(n))
+    def _scan_init(self, noise, rng, n):
+        return (noise, rng), jnp.asarray(self.inference_timesteps(n))
+
+    def _scan_body(self, eps_fn, n):
         ratio = self.num_train_timesteps // n
         acp = self._alphas_cumprod
 
@@ -137,8 +175,7 @@ class DDIMScheduler(BaseScheduler):
                 x = x + std * jax.random.normal(r_noise, x.shape, x.dtype)
             return (x, rng), None
 
-        (x, _), _ = jax.lax.scan(body, (noise, rng), steps)
-        return x
+        return body
 
 
 @dataclasses.dataclass(frozen=True)
@@ -148,11 +185,16 @@ class PNDMScheduler(BaseScheduler):
     default_inference_steps: int = 50
     clip_sample: bool = False  # reference PNDM applies no x0 clipping in PLMS
 
-    def sample(self, rng: Array, eps_fn, noise: Array,
-               num_inference_steps: Optional[int] = None) -> Array:
-        n = num_inference_steps or self.default_inference_steps
+    def _scan_init(self, noise, rng, n):
+        ts = np.asarray(self.inference_timesteps(n), dtype=np.int32)
+        counters = np.arange(len(ts), dtype=np.int32)
+        ets0 = jnp.zeros((4,) + noise.shape, noise.dtype)
+        carry0 = (noise, jnp.zeros_like(noise), ets0,
+                  jnp.zeros((), jnp.int32))
+        return carry0, (jnp.asarray(counters), jnp.asarray(ts))
+
+    def _scan_body(self, eps_fn, n):
         ratio = self.num_train_timesteps // n
-        plms_steps = self.inference_timesteps(n)
         acp = self._alphas_cumprod
 
         def prev_sample(sample, t, t_prev, eps):
@@ -211,14 +253,7 @@ class PNDMScheduler(BaseScheduler):
         # transition from the remembered sample with the averaged eps
         # (reference pndm.py:255-276 — eps there is evaluated at the SECOND
         # timestep, t_eff/t_prev shifted up by one ratio)
-        ts = np.asarray(plms_steps, dtype=np.int32)
-        counters = np.arange(len(ts), dtype=np.int32)
-        ets0 = jnp.zeros((4,) + noise.shape, noise.dtype)
-        (x, _, _, _), _ = jax.lax.scan(
-            body, (noise, jnp.zeros_like(noise), ets0, jnp.zeros((), jnp.int32)),
-            (jnp.asarray(counters), jnp.asarray(ts)),
-        )
-        return x
+        return body
 
 
 @dataclasses.dataclass(frozen=True)
@@ -229,9 +264,14 @@ class DPMSolverMultistepScheduler(BaseScheduler):
     default_inference_steps: int = 50
     clip_sample: bool = False
 
-    def sample(self, rng: Array, eps_fn, noise: Array,
-               num_inference_steps: Optional[int] = None) -> Array:
-        n = num_inference_steps or self.default_inference_steps
+    def _scan_init(self, noise, rng, n):
+        ts = np.linspace(0, self.num_train_timesteps - 1, n + 1).round()[::-1][
+            :-1
+        ].astype(np.int64)
+        carry0 = (noise, jnp.zeros_like(noise), jnp.zeros((), bool))
+        return carry0, jnp.arange(len(ts))
+
+    def _scan_body(self, eps_fn, n):
         acp_full = np.asarray(self._alphas_cumprod)
         # timesteps: linspace over [0, T-1], descending (diffusers/MONAI style)
         ts = np.linspace(0, self.num_train_timesteps - 1, n + 1).round()[::-1][
@@ -271,8 +311,4 @@ class DPMSolverMultistepScheduler(BaseScheduler):
             x_next = jnp.where(use_second, second, first)
             return (x_next, x0, jnp.ones((), bool)), None
 
-        (x, _, _), _ = jax.lax.scan(
-            body, (noise, jnp.zeros_like(noise), jnp.zeros((), bool)),
-            jnp.arange(len(ts)),
-        )
-        return x
+        return body

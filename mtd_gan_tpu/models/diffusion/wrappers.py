@@ -63,19 +63,48 @@ class _DiffusionBase:
         val = jnp.mean((eps_pred - noise) ** 2)
         return val, {"loss": val}
 
-    @partial(jax.jit, static_argnums=0)
-    def sample(self, params, rng, condition: Array) -> Array:
-        """Full reverse chain from noise, conditioned by channel concat."""
-        noise = jax.random.normal(rng, condition.shape, condition.dtype)
+    def sample(self, params, rng, condition: Array,
+               segment_len: int | None = None) -> Array:
+        """Full reverse chain from noise, conditioned by channel concat.
 
+        Long chains on large images run as host-synced segments: the
+        single 1000-step DDPM program at 512x512 crashed the TPU worker
+        (a ~280 s device launch — PERF.md r2), so when steps x pixels is
+        large the SAME scan body runs in segment_len-step programs with
+        the carry threaded through (bit-identical math). Pass
+        segment_len=0 to force the single-program path."""
+        if segment_len is None:
+            work = self.n_inference_steps * condition.shape[1] * condition.shape[2]
+            if self.n_inference_steps >= 200 and work >= 200 * 256 * 256:
+                segment_len = 100
+        if segment_len:
+            return self._sample_segmented(params, rng, condition, segment_len)
+        return self._sample_one_program(params, rng, condition)
+
+    def _eps_fn(self, params, condition):
         def eps_fn(xt, t):
             tb = jnp.full((xt.shape[0],), t, jnp.int32)
             return self.unet.apply(
                 {"params": params}, jnp.concatenate([xt, condition], axis=-1), tb
             )
 
-        return self.scheduler.sample(rng, eps_fn, noise,
-                                     self.n_inference_steps)
+        return eps_fn
+
+    @partial(jax.jit, static_argnums=0)
+    def _sample_one_program(self, params, rng, condition: Array) -> Array:
+        noise = jax.random.normal(rng, condition.shape, condition.dtype)
+        return self.scheduler.sample(rng, self._eps_fn(params, condition),
+                                     noise, self.n_inference_steps)
+
+    def _sample_segmented(self, params, rng, condition: Array,
+                          segment_len: int) -> Array:
+        noise = jax.jit(
+            lambda r: jax.random.normal(r, condition.shape, condition.dtype)
+        )(rng)
+        return self.scheduler.sample_segmented(
+            rng, self._eps_fn(params, condition), noise,
+            self.n_inference_steps, segment_len=segment_len,
+        )
 
     # engine-compat: forward == sample (reference networks.py:32-38)
     def apply(self, params, x, rng=None):

@@ -257,15 +257,29 @@ class MTDGANModel:
     # jit-of-jit inside the trainer is free
     @partial(jax.jit, static_argnums=0)
     def generate(self, params_g, x: Array) -> Array:
-        # full-size inference on TPU runs the VMEM-fused Pallas spectral
-        # branch (identical params; H-tiling requires H % 64 == 0); training
-        # g_loss differentiates Generator.apply directly, not this path
+        # Full-size TPU inference runs the channel-major NCHW Pallas
+        # pipeline (ops/pallas_pipeline.py): lane-dense convs + radix-4
+        # Cooley-Tukey H-DFTs + bf16 stage boundaries — measured 2x the
+        # einsum path at 512x512 (PERF.md r3). Identical params; training
+        # g_loss differentiates Generator.apply directly, never this path.
+        if (
+            jax.default_backend() == "tpu"
+            and x.shape[1] >= 256
+            and x.shape[1] % 128 == 0
+            and x.shape[2] % 128 == 0
+        ):
+            from mtd_gan_tpu.ops.pallas_pipeline import resfft_generator_nchw
+
+            return resfft_generator_nchw(
+                params_g, x, num_layers=self.Generator.num_layers,
+            )
         if (
             jax.default_backend() == "tpu"
             and x.shape[1] >= 256
             and x.shape[1] % 64 == 0
             and x.shape[2] % 2 == 0
         ):
+            # H not 128-tileable: fall back to the round-2 tiled kernels
             return self.GeneratorTiled.apply({"params": params_g}, x)
         return self.Generator.apply({"params": params_g}, x)
 

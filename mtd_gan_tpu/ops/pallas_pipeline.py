@@ -142,29 +142,41 @@ def _pad_k(k: int) -> int:
 
 
 @lru_cache(maxsize=16)
-def _w_tables_np(w: int, kp: int, precision: str) -> Tuple[np.ndarray, ...]:
-    """Forward/inverse W-axis real-DFT factors, zero-padded to kp columns
-    (pad columns/rows are exactly zero, so they contribute nothing even
-    after the mix bias + ReLU leak — the inverse rows kill it)."""
+def _w_tables_np(w: int, kp: int, tc: int,
+                 precision: str) -> Tuple[np.ndarray, ...]:
+    """Forward/inverse W-axis real-DFT factor packs, zero-padded to kp
+    columns (pad columns/rows are exactly zero, so they contribute nothing
+    even after the mix bias + ReLU leak — the inverse rows kill it).
+
+    Factor matrices are N/K-COMBINED so each dot streams its operand once
+    (the kernels are VMEM-streaming bound, not MXU-pass bound — probed):
+      fwd:  [wr | wi]            (w, 2*kp)   -> (rows, 2*kp) = [zr | zi]
+      inv:  row-interleaved [ga; gb] per tc-chunk (2*kp, w), matching the
+            chunk-interleaved [tr_j; ti_j] boundary stage B writes.
+    """
     k = w // 2 + 1
     wr, wi = _rdft_w_factors(w)
     ga, gb = _irdft_w_factors(w)
-    wr_p = np.zeros((w, kp), np.float32)
-    wi_p = np.zeros((w, kp), np.float32)
-    wr_p[:, :k], wi_p[:, :k] = wr, wi
+    fwd = np.zeros((w, 2 * kp), np.float32)
+    fwd[:, :k] = wr
+    fwd[:, kp:kp + k] = wi
     ga_p = np.zeros((kp, w), np.float32)
     gb_p = np.zeros((kp, w), np.float32)
     ga_p[:k], gb_p[:k] = ga, gb
+    inv = np.zeros((2 * kp, w), np.float32)
+    for j in range(kp // tc):
+        inv[2 * tc * j:2 * tc * j + tc] = ga_p[tc * j:tc * (j + 1)]
+        inv[2 * tc * j + tc:2 * tc * (j + 1)] = gb_p[tc * j:tc * (j + 1)]
     pk = partial(_pack_np, precision=precision)
-    return pk(wr_p), pk(wi_p), pk(ga_p), pk(gb_p)
+    return pk(fwd), pk(inv)
 
 
 @lru_cache(maxsize=8)
 def _h_ct_tables_np(h: int, precision: str) -> Tuple[np.ndarray, ...]:
     """Radix-4 Cooley-Tukey tables for the H-axis ortho DFT, h = 4*m.
 
-    f_c/f_s: (m, m) sub-DFT factors carrying the FULL 1/sqrt(h) ortho
-    scale (butterfly and twiddle stages are unscaled).
+    f_cs: (m, 2m) N-combined [cos | -sin] sub-DFT factors carrying the
+    FULL 1/sqrt(h) ortho scale (butterfly and twiddle stages unscaled).
     twc/tws: (4, m) twiddles cos/sin(2*pi*q*u/h) for output digit u.
     """
     assert h % 4 == 0, h
@@ -173,21 +185,21 @@ def _h_ct_tables_np(h: int, precision: str) -> Tuple[np.ndarray, ...]:
     t = np.arange(m)
     ang = 2.0 * np.pi * np.outer(q, t) / m
     scale = 1.0 / np.sqrt(h)
-    f_c = (np.cos(ang) * scale).astype(np.float32)
-    f_s = (-np.sin(ang) * scale).astype(np.float32)
+    f_cs = np.concatenate(
+        [np.cos(ang) * scale, -np.sin(ang) * scale], axis=1
+    ).astype(np.float32)
     u = np.arange(4)[:, None]
     tang = 2.0 * np.pi * u * q[None, :] / h
     twc = np.cos(tang).astype(np.float32)
     tws = np.sin(tang).astype(np.float32)
-    pk = partial(_pack_np, precision=precision)
-    return pk(f_c), pk(f_s), twc, tws
+    return _pack_np(f_cs, precision), twc, tws
 
 
 @lru_cache(maxsize=8)
-def _h_dense_tables_np(h: int, precision: str) -> Tuple[np.ndarray, ...]:
+def _h_dense_tables_np(h: int, precision: str) -> np.ndarray:
+    """N-combined [hr | hi] (h, 2h) dense fallback factor pack."""
     hr, hi = _dft_h_factors(h)
-    pk = partial(_pack_np, precision=precision)
-    return pk(hr), pk(hi)
+    return _pack_np(np.concatenate([hr, hi], axis=1), precision)
 
 
 def _full_spec(shape):
@@ -271,26 +283,26 @@ def _conv3x3_call(
 
         main.wait()
 
-        # --- 9-tap im2col: rows ordered (tap, c_in), tap = (dy+1)*3+(dx+1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (c_in, chw), 1) % w
+        # --- 9-tap im2col: rows ordered (tap, c_in), tap = (dy+1)*3+(dx+1).
+        # The two W-shifted copies are rolled+masked ONCE over the full
+        # halo'd chunk, then all dy taps are plain row slices of the three
+        # copies (2 rolls + 2 masks instead of 6+6). Mosaic's
+        # dynamic_rotate only handles 32-bit data — roll through f32
+        # (lossless round trip for bf16).
+        ew = (th + 2) * w
+        col = jax.lax.broadcasted_iota(jnp.int32, (c_in, ew), 1) % w
+        e32 = ext[:].astype(_F32)
+        # sample x[w+1]: left-roll, kill col w-1
+        ext_p = jnp.where(col == w - 1, 0.0,
+                          pltpu.roll(e32, shift=ew - 1, axis=1)
+                          ).astype(ext.dtype)
+        # sample x[w-1]: right-roll, kill col 0
+        ext_m = jnp.where(col == 0, 0.0,
+                          pltpu.roll(e32, shift=1, axis=1)).astype(ext.dtype)
         slabs = []
         for dy in (-1, 0, 1):
-            base = ext[:, (1 + dy) * w:(1 + dy + th) * w]
-            # Mosaic's dynamic_rotate only handles 32-bit data — run the
-            # two shifted taps through f32 (lossless round trip for bf16)
-            base32 = base.astype(_F32)
-            for dx in (-1, 0, 1):
-                if dx == 0:
-                    s = base
-                elif dx == 1:  # sample x[w+1]: left-roll, kill col w-1
-                    s = pltpu.roll(base32, shift=chw - 1, axis=1)
-                    s = jnp.where(col == w - 1, jnp.zeros_like(s), s)
-                    s = s.astype(base.dtype)
-                else:  # sample x[w-1]: right-roll, kill col 0
-                    s = pltpu.roll(base32, shift=1, axis=1)
-                    s = jnp.where(col == 0, jnp.zeros_like(s), s)
-                    s = s.astype(base.dtype)
-                slabs.append(s)
+            lo, hi = (1 + dy) * w, (1 + dy + th) * w
+            slabs.extend([ext_m[:, lo:hi], ext[:, lo:hi], ext_p[:, lo:hi]])
         x9 = jnp.concatenate(slabs, axis=0)  # (9*C_in, th*w)
 
         acc = dots_l(km_ref, x9) + b_ref[:]
@@ -356,50 +368,48 @@ def conv_kmat(kernel_hwio: Array, flip: bool = False) -> Array:
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("h", "w", "precision", "bound_dtype_name",
-                                   "interpret"))
-def _stage_a_call(x, wr_p, wi_p, h, w, precision, bound_dtype_name, interpret):
-    """(N, C, H*W) -> forward W-axis rDFT -> zr, zi (N, C, Kp, H)."""
+@partial(jax.jit, static_argnames=("h", "w", "kp", "precision",
+                                   "bound_dtype_name", "interpret"))
+def _stage_a_call(x, fwd_p, h, w, kp, precision, bound_dtype_name, interpret):
+    """(N, C, H*W) -> forward W-axis rDFT -> merged z (N, C, 2*Kp, H) with
+    Re at K-rows [0:Kp], Im at [Kp:2Kp]. One N-combined dot per block."""
     n, c, _ = x.shape
-    kp = wr_p.shape[-1]
     bdt = jnp.dtype(bound_dtype_name)
     dots = _make_dots(precision)
     tha = 128 if h % 128 == 0 else h
 
-    def kern(x_ref, wr_r, wi_r, zr_ref, zi_ref):
+    def kern(x_ref, f_r, z_ref):
         xs = x_ref[0].reshape(c * tha, w)
-        zr, zi = dots(xs, wr_r, wi_r)                 # (C*tha, Kp)
-        zr = zr.reshape(c, tha, kp).transpose(0, 2, 1)
-        zi = zi.reshape(c, tha, kp).transpose(0, 2, 1)
-        zr_ref[0] = zr.astype(zr_ref.dtype)
-        zi_ref[0] = zi.astype(zi_ref.dtype)
+        (z,) = dots(xs, f_r)                          # (C*tha, 2Kp) f32
+        z = z.astype(z_ref.dtype)
+        z_ref[0] = z.reshape(c, tha, 2 * kp).transpose(0, 2, 1)
 
-    z_shape = jax.ShapeDtypeStruct((n, c, kp, h), bdt)
-    zb = lambda: pl.BlockSpec((1, c, kp, tha), lambda i, j: (i, 0, 0, j),
-                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        out_shape=(z_shape, z_shape),
+        out_shape=jax.ShapeDtypeStruct((n, c, 2 * kp, h), bdt),
         grid_spec=pl.GridSpec(
             grid=(n, h // tha),
             in_specs=[
                 pl.BlockSpec((1, c, tha * w), lambda i, j: (i, 0, j),
                              memory_space=pltpu.VMEM),
-                _full_spec(wr_p.shape), _full_spec(wi_p.shape),
+                _full_spec(fwd_p.shape),
             ],
-            out_specs=(zb(), zb()),
+            out_specs=pl.BlockSpec((1, c, 2 * kp, tha),
+                                   lambda i, j: (i, 0, 0, j),
+                                   memory_space=pltpu.VMEM),
         ),
         compiler_params=_vmem(100, interpret),
         interpret=interpret,
-    )(x, wr_p, wi_p)
+    )(x, fwd_p)
 
 
-def _ct_fwd(ar, ai, f_c, f_s, twc, tws, dots, r, m):
+def _ct_fwd(ar, ai, f_cs, twc, tws, dots, r, m):
     """Radix-4 DIF forward DFT along lanes: (R, 4m) complex in natural
     order -> (R, 4m) complex in digit-major order (lane p = m*u + t maps
-    to spectral index k = 4t + u)."""
-    a = [ar[:, m * s:m * (s + 1)] for s in range(4)]
-    b = [ai[:, m * s:m * (s + 1)] for s in range(4)]
+    to spectral index k = 4t + u). Operands stream bf16; one N-combined
+    [cos|-sin] dot."""
+    a = [ar[:, m * s:m * (s + 1)].astype(_F32) for s in range(4)]
+    b = [ai[:, m * s:m * (s + 1)].astype(_F32) for s in range(4)]
     v0r, v0i = a[0] + a[1] + a[2] + a[3], b[0] + b[1] + b[2] + b[3]
     d02r, d02i = a[0] - a[2], b[0] - b[2]
     d13r, d13i = a[1] - a[3], b[1] - b[3]
@@ -407,13 +417,14 @@ def _ct_fwd(ar, ai, f_c, f_s, twc, tws, dots, r, m):
     vr = [v0r, d02r + d13i, v2r, d02r - d13i]
     vi = [v0i, d02i - d13r, v2i, d02i + d13r]
     # twiddle by W_h^{mu} = cos - i sin (digit 0 is the identity)
-    wr_, wi_ = [vr[0]], [vi[0]]
+    wr_, wi_ = [vr[0].astype(_BF16)], [vi[0].astype(_BF16)]
     for u in (1, 2, 3):
         tc_, ts_ = twc[u:u + 1, :], tws[u:u + 1, :]
-        wr_.append(tc_ * vr[u] + ts_ * vi[u])
-        wi_.append(tc_ * vi[u] - ts_ * vr[u])
-    zbig = jnp.concatenate(wr_ + wi_, axis=0)         # (8R, m)
-    A, B = dots(zbig, f_c, f_s)
+        wr_.append((tc_ * vr[u] + ts_ * vi[u]).astype(_BF16))
+        wi_.append((tc_ * vi[u] - ts_ * vr[u]).astype(_BF16))
+    zbig = jnp.concatenate(wr_ + wi_, axis=0)         # (8R, m) bf16
+    (AB,) = dots(zbig, f_cs)                          # (8R, 2m) f32
+    A, B = AB[:, :m], AB[:, m:]
     xr, xi = [], []
     for u in range(4):
         re = A[u * r:(u + 1) * r] - B[(4 + u) * r:(5 + u) * r]
@@ -423,13 +434,15 @@ def _ct_fwd(ar, ai, f_c, f_s, twc, tws, dots, r, m):
     return jnp.concatenate(xr, axis=1), jnp.concatenate(xi, axis=1)
 
 
-def _ct_inv(xr, xi, f_c, f_s, twc, tws, dots, r, m):
+def _ct_inv(xr, xi, f_cs, twc, tws, dots, r, m):
     """Radix-4 inverse of :func:`_ct_fwd` (conjugate transform), digit-major
-    lanes in -> natural order out."""
+    lanes in -> natural order out. xr/xi may be any float dtype; pieces are
+    cast bf16 before the combined dot."""
     ebig = jnp.concatenate(
-        [xr[:, m * u:m * (u + 1)] for u in range(4)]
-        + [xi[:, m * u:m * (u + 1)] for u in range(4)], axis=0)
-    P, Q = dots(ebig, f_c, f_s)
+        [xr[:, m * u:m * (u + 1)].astype(_BF16) for u in range(4)]
+        + [xi[:, m * u:m * (u + 1)].astype(_BF16) for u in range(4)], axis=0)
+    (PQ,) = dots(ebig, f_cs)
+    P, Q = PQ[:, :m], PQ[:, m:]
     zr, zi = [], []
     for u in range(4):
         yr = P[u * r:(u + 1) * r] + Q[(4 + u) * r:(5 + u) * r]
@@ -438,10 +451,10 @@ def _ct_inv(xr, xi, f_c, f_s, twc, tws, dots, r, m):
             zr.append(yr)
             zi.append(yi)
         else:
+            # conj twiddle W_h^{-mu} = cos + i sin
             tc_, ts_ = twc[u:u + 1, :], tws[u:u + 1, :]
             zr.append(tc_ * yr - ts_ * yi)
             zi.append(tc_ * yi + ts_ * yr)
-        # conj twiddle W_h^{-mu} = cos + i sin
     x0r = zr[0] + zr[1] + zr[2] + zr[3]
     x0i = zi[0] + zi[1] + zi[2] + zi[3]
     x1r = zr[0] - zi[1] - zr[2] + zi[3]
@@ -454,100 +467,106 @@ def _ct_inv(xr, xi, f_c, f_s, twc, tws, dots, r, m):
             jnp.concatenate([x0i, x1i, x2i, x3i], axis=1))
 
 
-def _dense_h_fwd(ar, ai, hr, hi, dots, r):
-    z = jnp.concatenate([ar, ai], axis=0)
-    A, B = dots(z, hr, hi)
+def _dense_h_fwd(ar, ai, h_cs, dots, r, h):
+    z = jnp.concatenate([ar.astype(_BF16), ai.astype(_BF16)], axis=0)
+    (AB,) = dots(z, h_cs)
+    A, B = AB[:, :h], AB[:, h:]
     return A[:r] - B[r:], B[:r] + A[r:]
 
 
-def _dense_h_inv(xr, xi, hr, hi, dots, r):
-    e = jnp.concatenate([xr, xi], axis=0)
-    P, Q = dots(e, hr, hi)
+def _dense_h_inv(xr, xi, h_cs, dots, r, h):
+    e = jnp.concatenate([xr.astype(_BF16), xi.astype(_BF16)], axis=0)
+    (PQ,) = dots(e, h_cs)
+    P, Q = PQ[:, :h], PQ[:, h:]
     return P[:r] + Q[r:], P[r:] - Q[:r]
 
 
-@partial(jax.jit, static_argnames=("h", "tc", "precision", "use_ct",
+@partial(jax.jit, static_argnames=("h", "kp", "tc", "precision", "use_ct",
                                    "interpret"))
-def _stage_b_call(zr, zi, mix_pack, bias_col, f_c, f_s, twc, tws,
-                  h, tc, precision, use_ct, interpret):
+def _stage_b_call(z, mix_pack, bias_col, f_cs, twc, tws,
+                  h, kp, tc, precision, use_ct, interpret):
     """H-axis forward DFT + spectral channel mix (ReLU'd [Re;Im] 1x1 conv,
     reference arch/Ours/networks.py:24-29) + inverse H DFT, one kernel per
-    (sample, K-chunk). Boundaries (N, C, Kp, H)."""
-    n, c, kp, _ = zr.shape
+    (sample, K-chunk).
+
+    In: merged z (N, C, 2Kp, H) from stage A ([zr; zi] along K-rows; read
+    as two chunk views of the same array). Out: (N, C, 2Kp, H) with
+    CHUNK-INTERLEAVED rows [tr_0; ti_0; tr_1; ti_1; ...] — stage C's
+    inverse factor pack is row-permuted to match, so no runtime shuffle."""
+    n, c, _, _ = z.shape
     r = c * tc
     m = h // 4
     dots = _make_dots(precision)
     dots_l = _make_dots_left(precision)
+    n_chunk = kp // tc
 
-    def kern(zr_ref, zi_ref, fc_r, fs_r, twc_r, tws_r, mix_r, b_r,
-             tr_ref, ti_ref):
-        ar = zr_ref[0].astype(_F32).reshape(r, h)
-        ai = zi_ref[0].astype(_F32).reshape(r, h)
+    def kern(zr_ref, zi_ref, f_r, twc_r, tws_r, mix_r, b_r, t_ref):
+        ar = zr_ref[0].reshape(r, h)
+        ai = zi_ref[0].reshape(r, h)
         if use_ct:
-            xr, xi = _ct_fwd(ar, ai, fc_r, fs_r, twc_r[:], tws_r[:],
-                             dots, r, m)
+            xr, xi = _ct_fwd(ar, ai, f_r, twc_r[:], tws_r[:], dots, r, m)
         else:
-            xr, xi = _dense_h_fwd(ar, ai, fc_r, fs_r, dots, r)
+            xr, xi = _dense_h_fwd(ar, ai, f_r, dots, r, h)
         # channel mix + ReLU on C-major rows: (R, H) -> (C, tc*H) stack
         s = jnp.concatenate(
-            [xr.reshape(c, tc * h), xi.reshape(c, tc * h)], axis=0)
+            [xr.reshape(c, tc * h).astype(_BF16),
+             xi.reshape(c, tc * h).astype(_BF16)], axis=0)
         s = dots_l(mix_r, s) + b_r[:]
         s = jnp.maximum(s, 0.0)
         xr = s[:c].reshape(r, h)
         xi = s[c:].reshape(r, h)
         if use_ct:
-            tr, ti = _ct_inv(xr, xi, fc_r, fs_r, twc_r[:], tws_r[:],
-                             dots, r, m)
+            tr, ti = _ct_inv(xr, xi, f_r, twc_r[:], tws_r[:], dots, r, m)
         else:
-            tr, ti = _dense_h_inv(xr, xi, fc_r, fs_r, dots, r)
-        tr_ref[0] = tr.reshape(c, tc, h).astype(tr_ref.dtype)
-        ti_ref[0] = ti.reshape(c, tc, h).astype(ti_ref.dtype)
+            tr, ti = _dense_h_inv(xr, xi, f_r, dots, r, h)
+        t_ref[0] = jnp.concatenate(
+            [tr.reshape(c, tc, h), ti.reshape(c, tc, h)], axis=1
+        ).astype(t_ref.dtype)
 
-    zb = lambda: pl.BlockSpec((1, c, tc, h), lambda i, j: (i, 0, j, 0),
-                              memory_space=pltpu.VMEM)
-    z_shape = jax.ShapeDtypeStruct(zr.shape, zr.dtype)
+    zb = lambda off: pl.BlockSpec(
+        (1, c, tc, h), lambda i, j: (i, 0, j + off, 0),
+        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        out_shape=(z_shape, z_shape),
+        out_shape=jax.ShapeDtypeStruct(z.shape, z.dtype),
         grid_spec=pl.GridSpec(
-            grid=(n, kp // tc),
+            grid=(n, n_chunk),
             in_specs=[
-                zb(), zb(),
-                _full_spec(f_c.shape), _full_spec(f_s.shape),
+                zb(0), zb(n_chunk),
+                _full_spec(f_cs.shape),
                 _full_spec(twc.shape), _full_spec(tws.shape),
                 _full_spec(mix_pack.shape), _full_spec(bias_col.shape),
             ],
-            out_specs=(zb(), zb()),
+            out_specs=pl.BlockSpec((1, c, 2 * tc, h),
+                                   lambda i, j: (i, 0, j, 0),
+                                   memory_space=pltpu.VMEM),
         ),
         compiler_params=_vmem(110, interpret),
         interpret=interpret,
-    )(zr, zi, f_c, f_s, twc, tws, mix_pack, bias_col)
+    )(z, z, f_cs, twc, tws, mix_pack, bias_col)
 
 
 @partial(jax.jit, static_argnames=("h", "w", "precision", "out_dtype_name",
                                    "interpret"))
-def _stage_c_call(tr, ti, ga_p, gb_p, res, h, w, precision, out_dtype_name,
-                  interpret):
+def _stage_c_call(t, inv_p, res, h, w, precision, out_dtype_name, interpret):
     """Inverse W-axis rDFT (+ Hermitian fold) with the block's residual
-    fused into the epilogue: out = res + irdft_W(t). (N, C, Kp, H) ->
-    (N, C, H*W)."""
-    n, c, kp, _ = tr.shape
+    fused into the epilogue: out = res + irdft_W(t).
+
+    In: chunk-interleaved (N, C, 2Kp, H) from stage B; the K-combined
+    (2Kp, W) factor pack's rows carry the matching [ga; gb] interleave, so
+    a single (C*tha, 2Kp) @ (2Kp, W) dot does fold + inverse at once."""
+    n, c, kp2, _ = t.shape
     odt = jnp.dtype(out_dtype_name)
     dots = _make_dots(precision)
     tha = 128 if h % 128 == 0 else h
     rr = c * tha
 
-    def kern(tr_ref, ti_ref, ga_r, gb_r, r_ref, o_ref):
-        a = tr_ref[0].astype(_F32).transpose(0, 2, 1).reshape(rr, kp)
-        b = ti_ref[0].astype(_F32).transpose(0, 2, 1).reshape(rr, kp)
-        e = jnp.concatenate([a, b], axis=0)
-        U, V = dots(e, ga_r, gb_r)
-        out = U[:rr] + V[rr:]                          # (C*tha, W)
+    def kern(t_ref, g_r, r_ref, o_ref):
+        a = t_ref[0].transpose(0, 2, 1).reshape(rr, kp2)
+        (out,) = dots(a, g_r)                          # (C*tha, W) f32
         out = out.reshape(c, tha * w) + r_ref[0].astype(_F32)
         o_ref[0] = out.astype(o_ref.dtype)
 
-    tb = lambda: pl.BlockSpec((1, c, kp, tha), lambda i, j: (i, 0, 0, j),
-                              memory_space=pltpu.VMEM)
     ib = lambda: pl.BlockSpec((1, c, tha * w), lambda i, j: (i, 0, j),
                               memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -555,13 +574,16 @@ def _stage_c_call(tr, ti, ga_p, gb_p, res, h, w, precision, out_dtype_name,
         out_shape=jax.ShapeDtypeStruct((n, c, h * w), odt),
         grid_spec=pl.GridSpec(
             grid=(n, h // tha),
-            in_specs=[tb(), tb(), _full_spec(ga_p.shape),
-                      _full_spec(gb_p.shape), ib()],
+            in_specs=[
+                pl.BlockSpec((1, c, kp2, tha), lambda i, j: (i, 0, 0, j),
+                             memory_space=pltpu.VMEM),
+                _full_spec(inv_p.shape), ib(),
+            ],
             out_specs=ib(),
         ),
         compiler_params=_vmem(100, interpret),
         interpret=interpret,
-    )(tr, ti, ga_p, gb_p, res)
+    )(t, inv_p, res)
 
 
 # --------------------------------------------------------------------------
@@ -569,45 +591,46 @@ def _stage_c_call(tr, ti, ga_p, gb_p, res, h, w, precision, out_dtype_name,
 # --------------------------------------------------------------------------
 
 
-def _spectral_tables(h, w, precision):
-    kp = _pad_k(w // 2 + 1)
-    wr_p, wi_p, ga_p, gb_p = (jnp.asarray(t)
-                              for t in _w_tables_np(w, kp, precision))
-    use_ct = h % 4 == 0 and (h // 4) % 8 == 0
-    if use_ct:
-        f_c, f_s, twc, tws = _h_ct_tables_np(h, precision)
-    else:
-        f_c, f_s = _h_dense_tables_np(h, precision)
-        twc = tws = np.zeros((4, 1), np.float32)
-    return (kp, use_ct, wr_p, wi_p, ga_p, gb_p, jnp.asarray(f_c),
-            jnp.asarray(f_s), jnp.asarray(twc), jnp.asarray(tws))
-
-
 def _pick_tc(kp: int) -> int:
     return 96 if kp % 96 == 0 else kp
 
 
+def _spectral_tables(h, w, precision):
+    kp = _pad_k(w // 2 + 1)
+    tc = _pick_tc(kp)
+    fwd_p, inv_p = (jnp.asarray(t)
+                    for t in _w_tables_np(w, kp, tc, precision))
+    use_ct = h % 4 == 0 and (h // 4) % 8 == 0
+    if use_ct:
+        f_cs, twc, tws = _h_ct_tables_np(h, precision)
+    else:
+        f_cs = _h_dense_tables_np(h, precision)
+        twc = tws = np.zeros((4, 1), np.float32)
+    return (kp, tc, use_ct, fwd_p, inv_p, jnp.asarray(f_cs),
+            jnp.asarray(twc), jnp.asarray(tws))
+
+
 def fft_block_nchw(x, img_kmat_pack, img_bias, mix_pack, bias_col,
-                   h, w, precision="tf32", bound_dtype=jnp.bfloat16,
+                   h, w, precision="bf16x2", bound_dtype=jnp.bfloat16,
                    interpret=False):
     """One Res-FFT-Conv block (reference arch/Ours/networks.py:15-36) on an
     (N, C, H*W) channel-major activation:
     out = x + relu(conv3x3(x)+b) + irfft2(relu(mix([Re;Im] rfft2(x)))).
     """
-    (kp, use_ct, wr_p, wi_p, ga_p, gb_p, f_c, f_s, twc, tws) = (
+    (kp, tc, use_ct, fwd_p, inv_p, f_cs, twc, tws) = (
         _spectral_tables(h, w, precision))
     res = conv3x3(x, img_kmat_pack, img_bias, h, w, relu=True, residual=True,
                   interpret=interpret)
-    zr, zi = _stage_a_call(x, wr_p, wi_p, h, w, precision,
-                           jnp.dtype(bound_dtype).name, interpret)
-    tr, ti = _stage_b_call(zr, zi, mix_pack, bias_col, f_c, f_s, twc, tws,
-                           h, _pick_tc(kp), precision, use_ct, interpret)
-    return _stage_c_call(tr, ti, ga_p, gb_p, res, h, w, precision,
+    z = _stage_a_call(x, fwd_p, h, w, kp, precision,
+                      jnp.dtype(bound_dtype).name, interpret)
+    t = _stage_b_call(z, mix_pack, bias_col, f_cs, twc, tws,
+                      h, kp, tc, precision, use_ct, interpret)
+    return _stage_c_call(t, inv_p, res, h, w, precision,
                          jnp.dtype(x.dtype).name, interpret)
 
 
 def prep_generator_params(params, num_layers: int, conv_precision: str = "bf16",
-                          mix_precision: str = "tf32"):
+                          mix_precision: str = "bf16x2"):
     """Flax ResFFTGenerator param tree -> packed pipeline weights.
 
     Returns a dict of stacked/packed arrays; pure jnp ops so it can run
@@ -639,7 +662,7 @@ def prep_generator_params(params, num_layers: int, conv_precision: str = "bf16",
 
 
 def resfft_generator_nchw(params, x, num_layers: int = 10,
-                          precision: str = "tf32",
+                          precision: str = "bf16x2",
                           conv_precision: str = "bf16",
                           act_dtype=jnp.bfloat16,
                           interpret: Optional[bool] = None):

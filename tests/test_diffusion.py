@@ -137,3 +137,20 @@ def test_chunked_attention_matches_dense(rng):
 
     want = dense_attn(x_big, params)
     np.testing.assert_allclose(out, np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("sched_cls", [DDPMScheduler, PNDMScheduler])
+def test_segmented_sampling_matches_one_program(rng, sched_cls):
+    """Host-synced segment chains (the DDPM-1000 full-image survival path,
+    VERDICT r3 item 5) are bit-identical to the single-scan program — the
+    carry (incl. PNDM's ets history) threads across segment boundaries."""
+    sched = sched_cls(num_train_timesteps=100)
+    noise = jax.random.normal(rng, (1, 8, 8, 1))
+
+    def eps_fn(xt, t):
+        return 0.3 * xt + 0.01 * t.astype(xt.dtype)
+
+    one = sched.sample(rng, eps_fn, noise, 20)
+    seg = sched.sample_segmented(rng, eps_fn, noise, 20, segment_len=7)
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(one),
+                               rtol=1e-6, atol=1e-6)

@@ -101,20 +101,21 @@ def test_ct_fwd_inv_roundtrip_matches_fft():
     rng = np.random.RandomState(3)
     ar = jnp.asarray(rng.randn(r, h).astype(np.float32))
     ai = jnp.asarray(rng.randn(r, h).astype(np.float32))
-    f_c, f_s, twc, tws = (jnp.asarray(t)
-                          for t in pp._h_ct_tables_np(h, "tf32"))
+    f_cs, twc, tws = (jnp.asarray(t)
+                      for t in pp._h_ct_tables_np(h, "tf32"))
     dots = pp._make_dots("tf32")
-    xr, xi = pp._ct_fwd(ar, ai, f_c, f_s, twc, tws, dots, r, m)
+    # CT streams bf16 operands by design (f32 accumulate): ~1e-3 relative
+    xr, xi = pp._ct_fwd(ar, ai, f_cs, twc, tws, dots, r, m)
     # digit-major lane p = m*u + t <-> spectral index k = 4t + u
     p = np.arange(h)
     u, t = p // m, p % m
     k = 4 * t + u
     want = np.fft.fft(np.asarray(ar + 1j * ai), axis=1, norm="ortho")
-    np.testing.assert_allclose(np.asarray(xr), want.real[:, k], atol=2e-3)
-    np.testing.assert_allclose(np.asarray(xi), want.imag[:, k], atol=2e-3)
-    br, bi = pp._ct_inv(xr, xi, f_c, f_s, twc, tws, dots, r, m)
-    np.testing.assert_allclose(np.asarray(br), np.asarray(ar), atol=2e-3)
-    np.testing.assert_allclose(np.asarray(bi), np.asarray(ai), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(xr), want.real[:, k], atol=1e-2)
+    np.testing.assert_allclose(np.asarray(xi), want.imag[:, k], atol=1e-2)
+    br, bi = pp._ct_inv(xr, xi, f_cs, twc, tws, dots, r, m)
+    np.testing.assert_allclose(np.asarray(br), np.asarray(ar), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(bi), np.asarray(ai), atol=2e-2)
 
 
 @pytest.mark.parametrize("precision,atol", [("tf32", 5e-3), ("bf16x2", 3e-2)])

@@ -268,3 +268,63 @@ def test_mdsi_matches_piq(piq, rng):
             w.simplefilter("ignore")
             want = float(md.mdsi(_t(x), _t(y), data_range=1.0))
     np.testing.assert_allclose(ours, want, rtol=1e-3, atol=1e-4)
+
+
+def test_inception_score_matches_piq(rng):
+    """Our IS is pure math on logits — oracle-test vs reference
+    module/piq/isc.py on random 'logits' (no weights needed)."""
+    from tests.ref_oracle import install_reference_stubs
+
+    install_reference_stubs()
+    isc = importlib.import_module("module.piq.isc")
+    from mtd_gan_tpu.metrics.extra import inception_score
+
+    logits = np.asarray(
+        jax.random.normal(rng, (40, 32), jnp.float32) * 3.0)
+    ours_mean, ours_std = inception_score(jnp.asarray(logits), num_splits=4)
+    with torch.no_grad():
+        want_mean, want_std = isc.inception_score(
+            torch.from_numpy(logits), num_splits=4)
+    assert abs(float(ours_mean) - float(want_mean)) < 1e-4
+    assert abs(float(ours_std) - float(want_std)) < 1e-4
+
+    # the IS metric value |IS(y) - IS(x)| (module/piq/isc.py:59-99)
+    from mtd_gan_tpu.metrics.extra import inception_score_diff
+
+    logits2 = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(9), (40, 32), jnp.float32) * 2.0)
+    ours = float(inception_score_diff(jnp.asarray(logits),
+                                      jnp.asarray(logits2), num_splits=4))
+    with torch.no_grad():
+        m1, _ = isc.inception_score(torch.from_numpy(logits), num_splits=4)
+        m2, _ = isc.inception_score(torch.from_numpy(logits2), num_splits=4)
+    assert abs(ours - abs(float(m2) - float(m1))) < 2e-4
+
+
+def test_vsi_matches_piq(rng):
+    from tests.ref_oracle import install_reference_stubs
+
+    install_reference_stubs()
+    vsi_mod = importlib.import_module("module.piq.vsi")
+    from mtd_gan_tpu.metrics.extra import vsi
+
+    x, y = _pair(rng, shape=(2, 96, 96, 1))
+    ours = float(vsi(x, y))
+    with torch.no_grad():
+        want = float(vsi_mod.vsi(_t(x), _t(y), data_range=1.0))
+    assert abs(ours - want) < 5e-3, (ours, want)
+
+
+def test_vsi_large_image_pooling_branch(rng):
+    """>=512 min side triggers the avg-pool prefilter (kernel 2)."""
+    from tests.ref_oracle import install_reference_stubs
+
+    install_reference_stubs()
+    vsi_mod = importlib.import_module("module.piq.vsi")
+    from mtd_gan_tpu.metrics.extra import vsi
+
+    x, y = _pair(rng, shape=(1, 512, 512, 1))
+    ours = float(vsi(x, y))
+    with torch.no_grad():
+        want = float(vsi_mod.vsi(_t(x), _t(y), data_range=1.0))
+    assert abs(ours - want) < 5e-3, (ours, want)
