@@ -841,3 +841,234 @@ def vsi(pred: Array, target: Array, data_range: float = 1.0,
     out = (jnp.sum(s * vs_max, axis=(1, 2, 3)) + eps_) / (
         jnp.sum(vs_max, axis=(1, 2, 3)) + eps_)
     return jnp.mean(out)
+
+
+# ---------------------------------------------------------------------------
+# MSID — multi-scale intrinsic distance (reference module/piq/msid.py,
+# arXiv:1905.11141). Host-side numpy (like KID): the kNN-graph build is
+# sequential and N is corpus-sized (hundreds), so dense numpy beats a
+# device round trip; the reference uses scipy.sparse, we use dense arrays.
+# ---------------------------------------------------------------------------
+
+_MSID_EPS = 1e-6
+_MSID_NORMALIZATION = 1e6
+
+
+def _msid_knn_adjacency(x: np.ndarray, k: int) -> np.ndarray:
+    """Symmetric unweighted kNN adjacency (dense), matching the reference
+    construction (msid.py:26-37: k+1 nearest by squared distance, self
+    excluded, then symmetrized and re-binarized)."""
+    n = len(x)
+    dd = np.sum(x * x, axis=1)
+    a = np.zeros((n, n), np.float64)
+    for i in range(n):
+        dists = dd - 2 * x[i] @ x.T
+        idx = np.argpartition(dists, k + 1)[:k + 1]
+        idx = idx[idx != i]
+        a[i, idx] = 1.0
+    a = (a + a.T) / 2
+    a[a > 0] = 1.0
+    return a
+
+
+def _msid_laplacian(a: np.ndarray, normalized: bool = True) -> np.ndarray:
+    deg = a.sum(axis=1)
+    if not normalized:
+        return np.diag(deg) - a
+    inv_sqrt = 1.0 / np.sqrt(deg)
+    return np.eye(len(a)) - (a * inv_sqrt[:, None]) * inv_sqrt[None, :]
+
+
+def _msid_lanczos(a: np.ndarray, m: int, nv: int, rademacher: bool):
+    """Block Lanczos with full reorthogonalization over nv random starting
+    vectors; returns the (nv, m, m) tridiagonal matrices (msid.py:49-135).
+    Draws from the GLOBAL np.random stream in the same order as the
+    reference (one randn(n, nv) call), so seeded runs are comparable."""
+    n = a.shape[0]
+    if rademacher:
+        v0 = np.sign(np.random.randn(n, nv))
+    else:
+        v0 = np.random.randn(n, nv)
+    v0 = v0 / np.linalg.norm(v0, axis=0)
+    V = np.zeros((n, m, nv))
+    T = np.zeros((nv, m, m))
+    V[:, 0, :] = v0
+
+    w = a @ v0
+    alpha = np.einsum("ij,ij->j", w, v0)
+    w = w - alpha[None, :] * v0
+    beta = np.sqrt(np.einsum("ij,ij->j", w, w))
+    T[:, 0, 0] = alpha
+    T[:, 0, 1] = beta
+    T[:, 1, 0] = beta
+    w = w / beta[None, :]
+    V[:, 1, :] = w
+
+    for i in range(1, m):
+        v_prev = V[:, i - 1, :]
+        v_cur = V[:, i, :]
+        w = a @ v_cur - beta[None, :] * v_prev
+        alpha = np.einsum("ij,ij->j", w, v_cur)
+        T[:, i, i] = alpha
+        if i == m - 1:
+            break
+        w = w - alpha[None, :] * v_cur
+        # full reorthogonalization against the basis built so far
+        w = w - np.einsum("ijk,jk->ik", V, np.einsum("ijk,ik->jk", V, w))
+        beta = np.sqrt(np.einsum("ij,ij->j", w, w))
+        w = w / beta[None, :]
+        T[:, i, i + 1] = beta
+        T[:, i + 1, i] = beta
+        # iterate reortho until the basis is orthogonal to w (msid.py:117-128)
+        converged = False
+        for _ in range(100):
+            inner = np.einsum("ijk,ik->jk", V, w)
+            if not (inner > 1e-5).sum():
+                converged = True
+                break
+            w = w - np.einsum("ijk,jk->ik", V, inner)
+            w = w / np.linalg.norm(w, axis=0)[None, :]
+        V[:, i + 1, :] = w
+        if (np.abs(beta) > 1e-6).sum() == 0 or not converged:
+            break
+    return T
+
+
+def _msid_heat_traces(lap: np.ndarray, m: int, niters: int,
+                      ts: np.ndarray, rademacher: bool) -> np.ndarray:
+    """Variance-reduced SLQ estimate of tr(exp(-t L)) per temperature
+    (msid.py:139-225 _slq_red_var: exp-trace minus linear control variate)."""
+    T = _msid_lanczos(lap, m, niters, rademacher)
+    eigvals, eigvecs = np.linalg.eigh(T)
+    sq_first = eigvecs[:, 0, :] ** 2
+    n = lap.shape[0]
+    traces = np.zeros((2, len(ts)))
+    for fi, f in enumerate((np.exp, lambda z: z)):
+        e = f(-np.outer(ts, eigvals)).reshape(len(ts), niters, m)
+        traces[fi] = n * (e * sq_first).sum(-1).mean(-1)
+    return (traces[0] - traces[1] / np.exp(ts)) - ts * n / np.exp(ts)
+
+
+def msid_descriptor(x: np.ndarray, ts=None, k: int = 5, m: int = 10,
+                    niters: int = 100, rademacher: bool = False,
+                    normalized_laplacian: bool = True,
+                    normalize: str = "empty") -> np.ndarray:
+    """Normalized heat-kernel trace descriptor of one sample set
+    (reference msid.py:258-291)."""
+    if ts is None:
+        ts = np.logspace(-1, 1, 256)
+    lap = _msid_laplacian(_msid_knn_adjacency(np.asarray(x, np.float64), k),
+                          normalized_laplacian)
+    n = lap.shape[0]
+    desc = _msid_heat_traces(lap, m, niters, ts, rademacher)
+    if normalize == "empty":
+        desc = desc / n
+    elif normalize == "complete":
+        desc = desc / (1 + (n - 1) * np.exp(-(1 + 1 / (n - 1)) * ts))
+    elif normalize == "er":
+        xs = np.linspace(0, 1, n)
+        er_spectrum = 4 / np.sqrt(k) * xs + 1 - 2 / np.sqrt(k)
+        desc = desc / (np.exp(-np.outer(ts, er_spectrum)).sum(-1) + _MSID_EPS)
+    elif normalize not in ("none", None):
+        raise ValueError(f"unknown normalization {normalize!r}")
+    return desc * _MSID_NORMALIZATION
+
+
+def msid(pred_features: np.ndarray, target_features: np.ndarray, ts=None,
+         k: int = 5, m: int = 10, niters: int = 100,
+         rademacher: bool = False, normalized_laplacian: bool = True,
+         normalize: str = "empty", msid_mode: str = "max") -> float:
+    """MSID score between two feature sets (reference msid.py:293-397)."""
+    if ts is None:
+        ts = np.logspace(-1, 1, 256)
+    d_p = msid_descriptor(pred_features, ts, k, m, niters, rademacher,
+                          normalized_laplacian, normalize)
+    d_t = msid_descriptor(target_features, ts, k, m, niters, rademacher,
+                          normalized_laplacian, normalize)
+    if msid_mode == "l2":
+        return float(np.linalg.norm(d_p - d_t))
+    if msid_mode == "max":
+        c = np.exp(-2 * (ts + 1 / ts))
+        return float(np.amax(c * np.abs(d_p - d_t)))
+    raise ValueError("msid_mode must be 'l2' or 'max'")
+
+
+# ---------------------------------------------------------------------------
+# GS — geometry score (reference module/piq/gs.py, arXiv:1802.02664).
+# The persistence-interval computation requires the `gudhi` witness-complex
+# library, which the reference also hard-imports (its module cannot even be
+# imported without gudhi). The RLT statistics are pure numpy and tested;
+# geometry_score() raises a clear ImportError when gudhi is absent
+# (WEIGHTS.md documents the gate).
+# ---------------------------------------------------------------------------
+
+def _gs_rlt(intervals, alpha_max: float, i_max: int = 100) -> np.ndarray:
+    """Relative living times of beta_1 from H1 persistence intervals
+    (paper eqs. (2)-(3); reference gs.py:18-63). Vectorized over the
+    switch-point midpoints."""
+    ivals = np.array([[lo, alpha_max if np.isinf(hi) else hi]
+                      for lo, hi in intervals], np.float64).reshape(-1, 2)
+    rlt = np.zeros(i_max)
+    if len(ivals) == 0:
+        rlt[0] = 1.0
+        return rlt
+    points = np.sort(np.unique(
+        np.concatenate([ivals.flatten(), [0.0, alpha_max]])))
+    mids = (points[:-1] + points[1:]) / 2
+    spans = np.diff(points)
+    # holes alive at each midpoint
+    alive = ((mids[:, None] >= ivals[None, :, 0])
+             & (mids[:, None] < ivals[None, :, 1])).sum(axis=1)
+    for s, span in zip(alive, spans):
+        if s < i_max:
+            rlt[s] += span
+    return rlt / alpha_max
+
+
+def _gs_witness_intervals(features: np.ndarray, sample_size: int,
+                          gamma=None):
+    """H1 persistence intervals of a witness complex over random landmarks
+    (reference gs.py:86-120). Needs gudhi."""
+    try:
+        import gudhi
+    except ImportError as e:  # pragma: no cover - gudhi absent from image
+        raise ImportError(
+            "geometry_score needs the `gudhi` library (witness-complex "
+            "persistence); the reference's module/piq/gs.py has the same "
+            "hard dependency. Install gudhi to enable GS."
+        ) from e
+    n = features.shape[0]
+    if gamma is None:
+        gamma = 1.0 / 128 * n / 5000
+    idx = np.random.choice(n, sample_size)
+    landmarks = features[idx]
+    d2 = np.sqrt(np.maximum(
+        np.sum(features**2, 1)[:, None] + np.sum(landmarks**2, 1)[None]
+        - 2 * features @ landmarks.T, 0.0))
+    max_dist = float(np.max(d2))
+    order = np.argsort(d2, axis=1)
+    sorted_d = np.take_along_axis(d2, order, axis=1)
+    table = np.dstack([order, sorted_d])
+    wc = gudhi.WitnessComplex(table)
+    alpha_max = max_dist * gamma
+    st = wc.create_simplex_tree(max_alpha_square=alpha_max,
+                                limit_dimension=2)
+    st.persistence(homology_coeff_field=2)
+    return st.persistence_intervals_in_dimension(1), alpha_max
+
+
+def geometry_score(pred_features: np.ndarray, target_features: np.ndarray,
+                   sample_size: int = 64, num_iters: int = 1000,
+                   gamma=None, i_max: int = 100) -> float:
+    """Geometry score between two feature sets: 1000 * sum of squared
+    differences of mean RLTs (reference gs.py:168-190, Algorithm 2)."""
+    def mean_rlt(feats):
+        rlts = [
+            _gs_rlt(*_gs_witness_intervals(feats, sample_size, gamma), i_max)
+            for _ in range(num_iters)
+        ]
+        return np.vstack(rlts).mean(axis=0)
+
+    mp = mean_rlt(np.asarray(pred_features, np.float64))
+    mt = mean_rlt(np.asarray(target_features, np.float64))
+    return float(np.sum((mp - mt) ** 2) * 1000)

@@ -591,6 +591,168 @@ def _stage_c_call(t, inv_p, res, h, w, precision, out_dtype_name, interpret):
 # --------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("h", "w", "kp", "tc", "precision",
+                                   "use_ct", "interpret"))
+def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
+                      inv_p, h, w, kp, tc, precision, use_ct, interpret):
+    """One whole Res-FFT-Conv block as a SINGLE kernel per sample:
+    out = x + relu(conv3x3(x)+b) + irfft2(relu(mix([Re;Im] rfft2(x)))).
+
+    x is read from HBM once (halo'd chunk DMAs feed both the conv and the
+    W-forward DFT); the spectral boundaries live in two VMEM scratch
+    buffers and never touch HBM; the conv residual is staged in the output
+    block and stage C accumulates onto it. Per block-batch HBM traffic =
+    read x + write out, vs ~5x that for the 4-kernel pipeline."""
+    n, c, hw = x.shape
+    tha = 128 if h % 128 == 0 else h
+    nj = h // tha
+    nb = kp // tc
+    r = c * tc
+    m = h // 4
+    chw = tha * w
+    dots = _make_dots(precision)
+    dots_l = _make_dots_left(precision)
+    conv_dots_l = _make_dots_left("bf16" if km_pack.shape[0] == 1 else "bf16x2")
+
+    def kern(x_any, km_r, kb_r, f_r, mix_r, mb_r, fcs_r, twc_r, tws_r,
+             inv_r, o_ref, zscr, tscr, ext, sem):
+        i = pl.program_id(0)
+
+        # ---- phase 1: conv+residual into o_ref, W-fwd DFT into zscr ----
+        def phase_a(j, _):
+            h0 = j * tha
+
+            @pl.when(j == 0)
+            def _():
+                ext[:, 0:w] = jnp.zeros((c, w), ext.dtype)
+
+            @pl.when(j == nj - 1)
+            def _():
+                ext[:, (tha + 1) * w:] = jnp.zeros((c, w), ext.dtype)
+
+            main = pltpu.make_async_copy(
+                x_any.at[i, :, pl.ds(h0 * w, chw)],
+                ext.at[:, pl.ds(w, chw)], sem.at[0])
+            main.start()
+
+            @pl.when(j > 0)
+            def _():
+                top = pltpu.make_async_copy(
+                    x_any.at[i, :, pl.ds((h0 - 1) * w, w)],
+                    ext.at[:, 0:w], sem.at[1])
+                top.start()
+                top.wait()
+
+            @pl.when(j < nj - 1)
+            def _():
+                bot = pltpu.make_async_copy(
+                    x_any.at[i, :, pl.ds((h0 + tha) * w, w)],
+                    ext.at[:, (tha + 1) * w:], sem.at[2])
+                bot.start()
+                bot.wait()
+
+            main.wait()
+
+            ew = (tha + 2) * w
+            col = jax.lax.broadcasted_iota(jnp.int32, (c, ew), 1) % w
+            e32 = ext[:].astype(_F32)
+            ext_p = jnp.where(col == w - 1, 0.0,
+                              pltpu.roll(e32, shift=ew - 1, axis=1)
+                              ).astype(ext.dtype)
+            ext_m = jnp.where(col == 0, 0.0,
+                              pltpu.roll(e32, shift=1, axis=1)
+                              ).astype(ext.dtype)
+            slabs = []
+            for dy in (-1, 0, 1):
+                lo, hi = (1 + dy) * w, (1 + dy + tha) * w
+                slabs.extend(
+                    [ext_m[:, lo:hi], ext[:, lo:hi], ext_p[:, lo:hi]])
+            x9 = jnp.concatenate(slabs, axis=0)
+            mid = ext[:, w:(tha + 1) * w]
+            acc = jnp.maximum(conv_dots_l(km_r, x9) + kb_r[:], 0.0)
+            acc = acc + mid.astype(_F32)
+            o_ref[0, :, pl.ds(h0 * w, chw)] = acc.astype(o_ref.dtype)
+
+            xs = mid.reshape(c * tha, w)
+            (z,) = dots(xs, f_r)                       # (C*tha, 2Kp) f32
+            z = z.astype(zscr.dtype).reshape(c, tha, 2 * kp)
+            zscr[:, :, pl.ds(h0, tha)] = z.transpose(0, 2, 1)
+            return 0
+
+        jax.lax.fori_loop(0, nj, phase_a, 0)
+
+        # ---- phase 2: H-DFT + mix + inverse H-DFT per K-chunk ----
+        def phase_b(j, _):
+            k0 = j * tc
+            ar = zscr[:, pl.ds(k0, tc), :].reshape(r, h)
+            ai = zscr[:, pl.ds(kp + k0, tc), :].reshape(r, h)
+            if use_ct:
+                xr, xi = _ct_fwd(ar, ai, fcs_r, twc_r[:], tws_r[:],
+                                 dots, r, m)
+            else:
+                xr, xi = _dense_h_fwd(ar, ai, fcs_r, dots, r, h)
+            s = jnp.concatenate(
+                [xr.reshape(c, tc * h).astype(_BF16),
+                 xi.reshape(c, tc * h).astype(_BF16)], axis=0)
+            s = jnp.maximum(dots_l(mix_r, s) + mb_r[:], 0.0)
+            xr = s[:c].reshape(r, h)
+            xi = s[c:].reshape(r, h)
+            if use_ct:
+                tr, ti = _ct_inv(xr, xi, fcs_r, twc_r[:], tws_r[:],
+                                 dots, r, m)
+            else:
+                tr, ti = _dense_h_inv(xr, xi, fcs_r, dots, r, h)
+            tscr[:, pl.ds(2 * k0, tc), :] = (
+                tr.reshape(c, tc, h).astype(tscr.dtype))
+            tscr[:, pl.ds(2 * k0 + tc, tc), :] = (
+                ti.reshape(c, tc, h).astype(tscr.dtype))
+            return 0
+
+        jax.lax.fori_loop(0, nb, phase_b, 0)
+
+        # ---- phase 3: inverse W-DFT, accumulate onto the conv residual ----
+        def phase_c(j, _):
+            h0 = j * tha
+            t = tscr[:, :, pl.ds(h0, tha)]             # (C, 2Kp, tha)
+            a = t.transpose(0, 2, 1).reshape(c * tha, 2 * kp)
+            (out,) = dots(a, inv_r)                    # (C*tha, W) f32
+            cur = o_ref[0, :, pl.ds(h0 * w, chw)]
+            o_ref[0, :, pl.ds(h0 * w, chw)] = (
+                out.reshape(c, chw) + cur.astype(_F32)).astype(o_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, nj, phase_c, 0)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, c, hw), x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                _full_spec(km_pack.shape), _full_spec(kb.shape),
+                _full_spec(fwd_p.shape),
+                _full_spec(mix_pack.shape), _full_spec(mb.shape),
+                _full_spec(f_cs.shape),
+                _full_spec(twc.shape), _full_spec(tws.shape),
+                _full_spec(inv_p.shape),
+            ],
+            out_specs=pl.BlockSpec((1, c, hw), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((c, 2 * kp, h), _BF16),
+                pltpu.VMEM((c, 2 * kp, h), _BF16),
+                pltpu.VMEM((c, (tha + 2) * w), x.dtype),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        ),
+        compiler_params=_vmem(120, interpret),
+        interpret=interpret,
+    )(x, km_pack, kb.astype(_F32), fwd_p, mix_pack, mb, f_cs, twc, tws,
+      inv_p)
+
+
 def _pick_tc(kp: int) -> int:
     return 96 if kp % 96 == 0 else kp
 
@@ -612,13 +774,22 @@ def _spectral_tables(h, w, precision):
 
 def fft_block_nchw(x, img_kmat_pack, img_bias, mix_pack, bias_col,
                    h, w, precision="bf16x2", bound_dtype=jnp.bfloat16,
-                   interpret=False):
+                   fused=True, interpret=False):
     """One Res-FFT-Conv block (reference arch/Ours/networks.py:15-36) on an
     (N, C, H*W) channel-major activation:
     out = x + relu(conv3x3(x)+b) + irfft2(relu(mix([Re;Im] rfft2(x)))).
+
+    fused=True runs the whole block as one kernel per sample (scratch-
+    resident spectral boundaries); fused=False runs the 4-kernel pipeline
+    (same math, HBM boundaries).
     """
     (kp, tc, use_ct, fwd_p, inv_p, f_cs, twc, tws) = (
         _spectral_tables(h, w, precision))
+    if fused:
+        return _block_fused_call(
+            x, img_kmat_pack, img_bias, fwd_p, mix_pack, bias_col,
+            f_cs, twc, tws, inv_p, h, w, kp, tc, precision, use_ct,
+            interpret)
     res = conv3x3(x, img_kmat_pack, img_bias, h, w, relu=True, residual=True,
                   interpret=interpret)
     z = _stage_a_call(x, fwd_p, h, w, kp, precision,

@@ -328,3 +328,78 @@ def test_vsi_large_image_pooling_branch(rng):
     with torch.no_grad():
         want = float(vsi_mod.vsi(_t(x), _t(y), data_range=1.0))
     assert abs(ours - want) < 5e-3, (ours, want)
+
+
+def test_msid_matches_piq(rng):
+    """MSID is stochastic (Hutchinson/SLQ); both implementations draw the
+    SAME np.random stream in the same order, so seeded runs agree."""
+    from tests.ref_oracle import install_reference_stubs
+
+    install_reference_stubs()
+    msid_mod = importlib.import_module("module.piq.msid")
+    from mtd_gan_tpu.metrics.extra import msid
+
+    feats_x = np.asarray(jax.random.normal(rng, (64, 16)))
+    feats_y = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(11), (64, 16)) + 0.3)
+
+    np.random.seed(123)
+    ours = msid(feats_x, feats_y, niters=10)
+    np.random.seed(123)
+    metric = msid_mod.MSID(niters=10)
+    with torch.no_grad():
+        want = float(metric.compute_metric(
+            torch.from_numpy(feats_x.astype(np.float32)),
+            torch.from_numpy(feats_y.astype(np.float32))))
+    assert abs(ours - want) / (abs(want) + 1e-6) < 1e-3, (ours, want)
+
+
+def test_msid_descriptor_modes(rng):
+    from mtd_gan_tpu.metrics.extra import msid
+
+    feats = np.asarray(jax.random.normal(rng, (48, 8)))
+    np.random.seed(0)
+    l2 = msid(feats, feats + 0.1, niters=5, msid_mode="l2")
+    np.random.seed(0)
+    mx = msid(feats, feats + 0.1, niters=5, msid_mode="max")
+    assert np.isfinite(l2) and np.isfinite(mx)
+    np.random.seed(0)
+    same = msid(feats, feats, niters=5)
+    assert same < l2  # identical sets score lower than perturbed ones
+
+
+def test_pieapp_arch_matches_reference_model(rng):
+    """PieAPP architecture parity: the reference PieAPPModel (no pretrained
+    weights needed) with random torch weights vs our JAX forward + scoring
+    with the SAME weights imported. Real-weight absolute values are gated
+    on PieAPPv0.1.pth (WEIGHTS.md)."""
+    from tests.ref_oracle import install_reference_stubs
+
+    install_reference_stubs()
+    pieapp_mod = importlib.import_module("module.piq.pieapp")
+    crop = importlib.import_module("module.piq.functional").crop_patches
+    from mtd_gan_tpu.metrics.learned import import_torch_pieapp, pieapp
+
+    torch.manual_seed(0)
+    model = pieapp_mod.PieAPPModel().eval()
+    sd = model.state_dict()
+    # piq patches the pretrained (1,)-shaped ref_score_subtract.weight to
+    # (1, 1) (pieapp.py:137); a fresh model already has (1, 1) — emulate
+    # the pretrained shape so the importer's quirk handling is exercised
+    sd_quirk = {k: (v.squeeze() if k == "ref_score_subtract.weight" else v)
+                for k, v in sd.items()}
+    params = import_torch_pieapp(sd_quirk)
+
+    x, y = _pair(rng, shape=(2, 96, 96, 1))
+    ours = float(pieapp(x, y, params))
+
+    with torch.no_grad():
+        xt, yt = _t(x).repeat(1, 3, 1, 1) * 255, _t(y).repeat(1, 3, 1, 1) * 255
+        fp, wp = model(crop(xt, size=64, stride=27))
+        ft, wt = model(crop(yt, size=64, stride=27))
+        d, w = model.compute_difference(ft - fp, wt - wp)
+        d = d.reshape(2, -1)
+        w = w.reshape(2, -1)
+        want = float(torch.stack(
+            [(dd * ww).sum() / ww.sum() for dd, ww in zip(d, w)]).mean())
+    assert abs(ours - want) / (abs(want) + 1e-6) < 1e-3, (ours, want)

@@ -96,3 +96,48 @@ def test_pl_tml_reference_parity_with_real_weights(rng):
                 float(texture_matching_loss(pred, y, feature_fn))]
     np.testing.assert_allclose(pl_ours, pl_want, rtol=2e-3, atol=1e-5)
     np.testing.assert_allclose(tml_ours, tml_want, rtol=2e-3, atol=1e-4)
+
+
+def _find_pieapp():
+    from mtd_gan_tpu.features.registry import _find_weight_file
+
+    return _find_weight_file("PieAPP")
+
+
+@pytest.mark.skipif(_find_pieapp() is None,
+                    reason="PieAPPv0.1.pth not present (see WEIGHTS.md)")
+def test_pieapp_real_weight_values(rng):
+    """With PieAPPv0.1.pth present, our score matches the reference piq
+    PieAPP class end-to-end (reference module/piq/pieapp.py:101-206)."""
+    from tests.ref_oracle import install_reference_stubs
+
+    from mtd_gan_tpu.metrics.learned import import_torch_pieapp, pieapp
+
+    install_reference_stubs()
+    pieapp_mod = importlib.import_module("module.piq.pieapp")
+    sd = torch.load(_find_pieapp(), map_location="cpu")
+    sd["ref_score_subtract.weight"] = sd["ref_score_subtract.weight"].squeeze()
+    params = import_torch_pieapp(sd)
+
+    x = jax.random.uniform(rng, (2, 96, 96, 1), jnp.float32, 0.1, 0.9)
+    y = jnp.clip(x + 0.05 * jax.random.normal(jax.random.PRNGKey(3), x.shape),
+                 0, 1)
+    ours = float(pieapp(x, y, params))
+
+    model = pieapp_mod.PieAPPModel().eval()
+    fixed = dict(sd)
+    fixed["ref_score_subtract.weight"] = \
+        fixed["ref_score_subtract.weight"].unsqueeze(1)
+    model.load_state_dict(fixed)
+    crop = importlib.import_module("module.piq.functional").crop_patches
+    with torch.no_grad():
+        def t(z):
+            return torch.from_numpy(
+                np.asarray(z).transpose(0, 3, 1, 2)).repeat(1, 3, 1, 1) * 255
+        fp, wp = model(crop(t(x), size=64, stride=27))
+        ft, wt = model(crop(t(y), size=64, stride=27))
+        d, w = model.compute_difference(ft - fp, wt - wp)
+        d, w = d.reshape(2, -1), w.reshape(2, -1)
+        want = float(torch.stack(
+            [(dd * ww).sum() / ww.sum() for dd, ww in zip(d, w)]).mean())
+    assert abs(ours - want) / (abs(want) + 1e-6) < 1e-3
