@@ -24,6 +24,7 @@ from flax import struct
 
 from mtd_gan_tpu import optim as optim_lib
 from mtd_gan_tpu.models.base import GANVariables, param_labels
+from mtd_gan_tpu.ops.layers import advance_spectral_state
 from mtd_gan_tpu.mto import combine_grads, get_method, per_task_grads
 from mtd_gan_tpu.mto.methods import uw_logsigma_grad
 from mtd_gan_tpu.parallel.mesh import batch_sharding, replicated_sharding
@@ -52,12 +53,26 @@ class MTDGANTrainer:
         weight_decay: float = 5e-4,
         method_lr: float = 0.025,
         mesh=None,
+        sn_iters: int = 4,
+        d_microbatch: Optional[int] = None,
         **method_kwargs,
     ):
         self.model = model
         self.base_lr = lr
         self.mesh = mesh
         self.method_lr = method_lr
+        # SN power-iteration cadence per D step. The iteration depends only
+        # on the weights (ops/layers.py advance_spectral_state), so it runs
+        # decoupled from the forwards; 4 reproduces the reference's
+        # 4-forward d_loss cadence EXACTLY (arch/Ours/networks.py:1957-1977)
+        # regardless of pair-batching or microbatching. g_loss still
+        # advances once through its forward (reference's 5th iteration).
+        self.sn_iters = sn_iters
+        # microbatch size for the 3-task D backward: chunks the batch under
+        # lax.scan with remat OFF (each chunk's activations fit HBM), so
+        # the per-task pullbacks never recompute the forwards. Gradients
+        # are exact chunk-averages (all d_loss terms are batch means).
+        self.d_microbatch = d_microbatch
         self.tx_g = optim_lib.get_optimizer(optimizer, lr, weight_decay)
         self.tx_d = optim_lib.get_optimizer(optimizer, lr, weight_decay)
         # second AdamW param group for learnable method params
@@ -106,11 +121,58 @@ class MTDGANTrainer:
         def d_update(state: GANTrainState, rng_d, rng_mto, x, y):
             def loss_fn(pd):
                 losses_vec, (new_sp, details) = model.d_loss(
-                    pd, state.params_g, state.state_d, rng_d, x, y
+                    pd, state.params_g, state.state_d, rng_d, x, y,
+                    update_stats=False,
                 )
                 return losses_vec, (new_sp, details)
 
-            if method is not None:
+            if method is not None and self.d_microbatch:
+                mb = self.d_microbatch
+                nm = x.shape[0] // mb
+
+                def chunk(pd, xc, yc, rc):
+                    def lf(p):
+                        lv, (sp_, det) = model.d_loss(
+                            p, state.params_g, state.state_d, rc, xc, yc,
+                            update_stats=False, remat=False,
+                        )
+                        return lv, det
+
+                    return per_task_grads(lf, pd, model.n_d_tasks)
+
+                xs = (
+                    x.reshape(nm, mb, *x.shape[1:]),
+                    y.reshape(nm, mb, *y.shape[1:]),
+                    jax.random.split(rng_d, nm),
+                )
+                shapes = jax.eval_shape(
+                    chunk, state.params_d, xs[0][0], xs[1][0], xs[2][0])
+                init = jax.tree_util.tree_map(
+                    lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes)
+
+                def body(carry, inp):
+                    out = chunk(state.params_d, *inp)
+                    return jax.tree_util.tree_map(
+                        lambda a, b: a + b / nm, carry, out), None
+
+                (losses_vec, stacked, details), _ = jax.lax.scan(
+                    body, init, xs)
+                new_sp = state.state_d
+                grad_d, mto_state, weights = combine_grads(
+                    method, state.mto_state, rng_mto, losses_vec, stacked, labels
+                )
+                mto_opt = state.mto_opt
+                if method.name == "uw":
+                    ls_grad = uw_logsigma_grad(state.mto_state, losses_vec)
+                    upd, mto_opt = self.tx_mto.update(
+                        ls_grad, state.mto_opt, state.mto_state.logsigma
+                    )
+                    mto_state = mto_state.replace(
+                        logsigma=optax.apply_updates(
+                            state.mto_state.logsigma, upd
+                        )
+                    )
+            elif method is not None:
                 losses_vec, stacked, (new_sp, details) = per_task_grads(
                     loss_fn, state.params_d, model.n_d_tasks
                 )
@@ -154,6 +216,10 @@ class MTDGANTrainer:
                     labels, updates,
                 )
             params_d = optax.apply_updates(state.params_d, updates)
+            # decoupled SN cadence: d_loss ran stats-frozen above; advance
+            # u with the PRE-UPDATE weights (what torch's hooks iterated)
+            new_sp = advance_spectral_state(
+                state.params_d, new_sp, n_iters=self.sn_iters)
             state = state.replace(
                 params_d=params_d, opt_d=opt_d, state_d=new_sp,
                 mto_state=mto_state, mto_opt=mto_opt,

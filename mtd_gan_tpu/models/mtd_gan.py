@@ -283,24 +283,31 @@ class MTDGANModel:
             return self.GeneratorTiled.apply({"params": params_g}, x)
         return self.Generator.apply({"params": params_g}, x)
 
-    def _apply_d(self, params_d, spectral, x, rng, train):
+    def _apply_d(self, params_d, spectral, x, rng, train,
+                 update_stats=None, remat=None):
+        if update_stats is None:
+            update_stats = train
+        if remat is None:
+            remat = self.remat
+
         def fn(pd, sp, z):
             return self.Discriminator.apply(
                 {"params": pd, "spectral": sp},
                 z,
                 train=train,
-                update_stats=train,
+                update_stats=update_stats,
                 rngs={"dropout": rng} if train else None,
                 mutable=["spectral"],
             )
 
-        if self.remat and train:
+        if remat and train:
             fn = jax.checkpoint(fn)
         out, mutated = fn(params_d, spectral, x)
         return out, mutated["spectral"]
 
     # ---- losses ----
-    def d_loss(self, params_d, params_g, state_d, rng, x, y, train=True):
+    def d_loss(self, params_d, params_g, state_d, rng, x, y, train=True,
+               update_stats=None, remat=None):
         """Returns (stacked [disc, rec, consist], (new_state, details)).
 
         The reference applies D four times per step (y, fake, and the two
@@ -318,7 +325,8 @@ class MTDGANModel:
         b = y.shape[0]
 
         pair1, sp = self._apply_d(
-            params_d, sp, jnp.concatenate([y, fake], axis=0), rngs[0], train
+            params_d, sp, jnp.concatenate([y, fake], axis=0), rngs[0], train,
+            update_stats=update_stats, remat=remat,
         )
         (real_enc, real_dec, real_rec), (fake_enc, fake_dec, fake_rec) = (
             jax.tree_util.tree_map(lambda t: t[:b], pair1),
@@ -341,7 +349,7 @@ class MTDGANModel:
             params_d, sp,
             jnp.concatenate([jnp.clip(real_rec, 0.0, 1.0),
                              jnp.clip(fake_rec, 0.0, 1.0)], axis=0),
-            rngs[2], train,
+            rngs[2], train, update_stats=update_stats, remat=remat,
         )
         (rr_enc, rr_dec, _), (rf_enc, rf_dec, _) = (
             jax.tree_util.tree_map(lambda t: t[:b], pair2),

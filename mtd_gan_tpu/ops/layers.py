@@ -230,3 +230,43 @@ class Dense(nn.Module, _SpectralMixin):
             bias = self.param("bias", bias_init, (self.features,), jnp.float32)
             y = y + bias.astype(dtype)
         return y
+
+
+def spectral_weight_matrix(kernel: Array) -> Array:
+    """The (out, -1) matrix view each SN layer power-iterates
+    (conv HWIO -> (O, HWI); dense (in, out) -> (out, in))."""
+    if kernel.ndim == 4:
+        return kernel.transpose(3, 0, 1, 2).reshape(kernel.shape[-1], -1)
+    return kernel.T
+
+
+def advance_spectral_state(params, state, n_iters: int = 1):
+    """Advance every spectral-norm u vector by `n_iters` power iterations
+    directly on the weights — the iteration never touches activations
+    (see _SpectralMixin), so it can run DECOUPLED from the forwards.
+
+    This restores the reference's exact cadence cheaply: torch's hooks
+    advance u once per D forward (4x in d_loss + 1x in g_loss per step,
+    engine.py:26-76 / arch/Ours/networks.py:1957-1977); our pair-batched
+    forwards advance it 2x. Calling this with n_iters=4 after a
+    stats-frozen d_loss reproduces the 4x d_loss cadence regardless of
+    how the forwards are batched or microbatched."""
+    def walk(st, pr):
+        out = {}
+        for k, v in st.items():
+            if isinstance(v, dict) and "u" in v and not isinstance(
+                    v.get("u"), dict):
+                w_mat = spectral_weight_matrix(
+                    jax.lax.stop_gradient(pr[k]["kernel"]))
+                u = v["u"]
+                for _ in range(n_iters):
+                    vv = _l2_normalize(w_mat.T @ u)
+                    u = _l2_normalize(w_mat @ vv)
+                out[k] = {**v, "u": u}
+            elif isinstance(v, dict):
+                out[k] = walk(v, pr[k])
+            else:
+                out[k] = v
+        return out
+
+    return walk(dict(state), params)

@@ -407,9 +407,11 @@ def _ct_fwd(ar, ai, f_cs, twc, tws, dots, r, m):
     """Radix-4 DIF forward DFT along lanes: (R, 4m) complex in natural
     order -> (R, 4m) complex in digit-major order (lane p = m*u + t maps
     to spectral index k = 4t + u). Operands stream bf16; one N-combined
-    [cos|-sin] dot."""
-    a = [ar[:, m * s:m * (s + 1)].astype(_F32) for s in range(4)]
-    b = [ai[:, m * s:m * (s + 1)].astype(_F32) for s in range(4)]
+    [cos|-sin] dot. Butterfly adds run in the INPUT dtype (bf16 on the
+    production path: their rounding is of the same order as the operand
+    quantization already present; twiddle products promote to f32)."""
+    a = [ar[:, m * s:m * (s + 1)] for s in range(4)]
+    b = [ai[:, m * s:m * (s + 1)] for s in range(4)]
     v0r, v0i = a[0] + a[1] + a[2] + a[3], b[0] + b[1] + b[2] + b[3]
     d02r, d02i = a[0] - a[2], b[0] - b[2]
     d13r, d13i = a[1] - a[3], b[1] - b[3]
@@ -592,18 +594,26 @@ def _stage_c_call(t, inv_p, res, h, w, precision, out_dtype_name, interpret):
 
 
 @partial(jax.jit, static_argnames=("h", "w", "kp", "tc", "precision",
-                                   "use_ct", "interpret"))
+                                   "use_ct", "has_pre", "has_skip",
+                                   "interpret"))
 def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
-                      inv_p, h, w, kp, tc, precision, use_ct, interpret):
-    """One whole Res-FFT-Conv block as a SINGLE kernel per sample:
-    out = x + relu(conv3x3(x)+b) + irfft2(relu(mix([Re;Im] rfft2(x)))).
+                      inv_p, pre_km, pre_kb, skip,
+                      h, w, kp, tc, precision, use_ct, has_pre, has_skip,
+                      interpret):
+    """One whole Res-FFT-Conv block — optionally including the LAYER conv
+    that feeds it — as a SINGLE kernel per sample:
+      h   = relu(pre_conv3x3(x) + pre_b [+ skip])      (when has_pre; the
+            reference's enc_i/dec_i convs, arch/Ours/networks.py:95-164 —
+            their output is consumed only by the block, so it never
+            touches HBM)
+      out = h + relu(conv3x3(h)+b) + irfft2(relu(mix([Re;Im] rfft2(h))))
 
-    x is read from HBM once (halo'd chunk DMAs feed both the conv and the
+    x is read from HBM once (halo'd chunk DMAs feed the convs and the
     W-forward DFT); the spectral boundaries live in two VMEM scratch
     buffers and never touch HBM; the conv residual is staged in the output
-    block and stage C accumulates onto it. Per block-batch HBM traffic =
-    read x + write out, vs ~5x that for the 4-kernel pipeline."""
-    n, c, hw = x.shape
+    block and stage C accumulates onto it."""
+    n, c_in, hw = x.shape
+    c = km_pack.shape[1]
     tha = 128 if h % 128 == 0 else h
     nj = h // tha
     nb = kp // tc
@@ -614,60 +624,166 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
     dots_l = _make_dots_left(precision)
     conv_dots_l = _make_dots_left("bf16" if km_pack.shape[0] == 1 else "bf16x2")
 
-    def kern(x_any, km_r, kb_r, f_r, mix_r, mb_r, fcs_r, twc_r, tws_r,
-             inv_r, o_ref, zscr, tscr, ext, sem):
+    def _masked_rolls(buf, ew):
+        """(left-shifted, right-shifted) copies with conv zero-pad columns."""
+        col = jax.lax.broadcasted_iota(jnp.int32, (buf.shape[0], ew), 1) % w
+        b32 = buf.astype(_F32)
+        plus = jnp.where(col == w - 1, 0.0,
+                         pltpu.roll(b32, shift=ew - 1, axis=1)
+                         ).astype(buf.dtype)
+        minus = jnp.where(col == 0, 0.0,
+                          pltpu.roll(b32, shift=1, axis=1)).astype(buf.dtype)
+        return minus, plus
+
+    def _im2col(buf, minus, plus, rows):
+        """9-tap im2col over `rows` output rows of a (rows+2)-row buffer."""
+        slabs = []
+        for dy in (-1, 0, 1):
+            lo, hi = (1 + dy) * w, (1 + dy + rows) * w
+            slabs.extend([minus[:, lo:hi], buf[:, lo:hi], plus[:, lo:hi]])
+        return jnp.concatenate(slabs, axis=0)
+
+    def kern(*refs):
+        idx = 0
+        x_any = refs[0]
+        km_r, kb_r, f_r, mix_r, mb_r, fcs_r, twc_r, tws_r, inv_r = refs[1:10]
+        idx = 10
+        if has_pre:
+            pkm_r, pkb_r = refs[idx:idx + 2]
+            idx += 2
+        if has_skip:
+            s_any = refs[idx]
+            idx += 1
+        o_ref, zscr, tscr, ext = refs[idx:idx + 4]
+        idx += 4
+        if has_pre:
+            ext2 = refs[idx]
+            idx += 1
+        if has_skip:
+            ext_s = refs[idx]
+            idx += 1
+        sem = refs[idx]
         i = pl.program_id(0)
 
-        # ---- phase 1: conv+residual into o_ref, W-fwd DFT into zscr ----
+        # ---- phase 1: [layer conv ->] res conv into o_ref, W-DFT to zscr
         def phase_a(j, _):
             h0 = j * tha
 
-            @pl.when(j == 0)
-            def _():
-                ext[:, 0:w] = jnp.zeros((c, w), ext.dtype)
+            if has_pre:
+                # x chunk with a 2-row halo: the layer conv produces h on a
+                # 1-row halo window, which the res conv then consumes
+                @pl.when(j == 0)
+                def _():
+                    ext2[:, 0:2 * w] = jnp.zeros((c_in, 2 * w), ext2.dtype)
 
-            @pl.when(j == nj - 1)
-            def _():
-                ext[:, (tha + 1) * w:] = jnp.zeros((c, w), ext.dtype)
+                @pl.when(j == nj - 1)
+                def _():
+                    ext2[:, (tha + 2) * w:] = jnp.zeros((c_in, 2 * w),
+                                                        ext2.dtype)
 
-            main = pltpu.make_async_copy(
-                x_any.at[i, :, pl.ds(h0 * w, chw)],
-                ext.at[:, pl.ds(w, chw)], sem.at[0])
-            main.start()
+                main = pltpu.make_async_copy(
+                    x_any.at[i, :, pl.ds(h0 * w, chw)],
+                    ext2.at[:, pl.ds(2 * w, chw)], sem.at[0])
+                main.start()
 
-            @pl.when(j > 0)
-            def _():
-                top = pltpu.make_async_copy(
-                    x_any.at[i, :, pl.ds((h0 - 1) * w, w)],
-                    ext.at[:, 0:w], sem.at[1])
-                top.start()
-                top.wait()
+                @pl.when(j > 0)
+                def _():
+                    top = pltpu.make_async_copy(
+                        x_any.at[i, :, pl.ds((h0 - 2) * w, 2 * w)],
+                        ext2.at[:, 0:2 * w], sem.at[1])
+                    top.start()
+                    top.wait()
 
-            @pl.when(j < nj - 1)
-            def _():
-                bot = pltpu.make_async_copy(
-                    x_any.at[i, :, pl.ds((h0 + tha) * w, w)],
-                    ext.at[:, (tha + 1) * w:], sem.at[2])
-                bot.start()
-                bot.wait()
+                @pl.when(j < nj - 1)
+                def _():
+                    bot = pltpu.make_async_copy(
+                        x_any.at[i, :, pl.ds((h0 + tha) * w, 2 * w)],
+                        ext2.at[:, (tha + 2) * w:], sem.at[2])
+                    bot.start()
+                    bot.wait()
 
-            main.wait()
+                if has_skip:
+                    @pl.when(j == 0)
+                    def _():
+                        ext_s[:, 0:w] = jnp.zeros((c, w), ext_s.dtype)
 
-            ew = (tha + 2) * w
-            col = jax.lax.broadcasted_iota(jnp.int32, (c, ew), 1) % w
-            e32 = ext[:].astype(_F32)
-            ext_p = jnp.where(col == w - 1, 0.0,
-                              pltpu.roll(e32, shift=ew - 1, axis=1)
-                              ).astype(ext.dtype)
-            ext_m = jnp.where(col == 0, 0.0,
-                              pltpu.roll(e32, shift=1, axis=1)
-                              ).astype(ext.dtype)
-            slabs = []
-            for dy in (-1, 0, 1):
-                lo, hi = (1 + dy) * w, (1 + dy + tha) * w
-                slabs.extend(
-                    [ext_m[:, lo:hi], ext[:, lo:hi], ext_p[:, lo:hi]])
-            x9 = jnp.concatenate(slabs, axis=0)
+                    @pl.when(j == nj - 1)
+                    def _():
+                        ext_s[:, (tha + 1) * w:] = jnp.zeros((c, w),
+                                                             ext_s.dtype)
+
+                    smain = pltpu.make_async_copy(
+                        s_any.at[i, :, pl.ds(h0 * w, chw)],
+                        ext_s.at[:, pl.ds(w, chw)], sem.at[3])
+                    smain.start()
+
+                    @pl.when(j > 0)
+                    def _():
+                        stop = pltpu.make_async_copy(
+                            s_any.at[i, :, pl.ds((h0 - 1) * w, w)],
+                            ext_s.at[:, 0:w], sem.at[4])
+                        stop.start()
+                        stop.wait()
+
+                    @pl.when(j < nj - 1)
+                    def _():
+                        sbot = pltpu.make_async_copy(
+                            s_any.at[i, :, pl.ds((h0 + tha) * w, w)],
+                            ext_s.at[:, (tha + 1) * w:], sem.at[5])
+                        sbot.start()
+                        sbot.wait()
+                    smain.wait()
+                main.wait()
+
+                e2m, e2p = _masked_rolls(ext2[:], (tha + 4) * w)
+                x9p = _im2col(ext2[:], e2m, e2p, tha + 2)
+                hacc = conv_dots_l(pkm_r, x9p) + pkb_r[:]
+                if has_skip:
+                    hacc = hacc + ext_s[:].astype(_F32)
+                ext[:] = jnp.maximum(hacc, 0.0).astype(ext.dtype)
+
+                # out-of-image h rows are zero under conv padding semantics
+                @pl.when(j == 0)
+                def _():
+                    ext[:, 0:w] = jnp.zeros((c, w), ext.dtype)
+
+                @pl.when(j == nj - 1)
+                def _():
+                    ext[:, (tha + 1) * w:] = jnp.zeros((c, w), ext.dtype)
+            else:
+                @pl.when(j == 0)
+                def _():
+                    ext[:, 0:w] = jnp.zeros((c, w), ext.dtype)
+
+                @pl.when(j == nj - 1)
+                def _():
+                    ext[:, (tha + 1) * w:] = jnp.zeros((c, w), ext.dtype)
+
+                main = pltpu.make_async_copy(
+                    x_any.at[i, :, pl.ds(h0 * w, chw)],
+                    ext.at[:, pl.ds(w, chw)], sem.at[0])
+                main.start()
+
+                @pl.when(j > 0)
+                def _():
+                    top = pltpu.make_async_copy(
+                        x_any.at[i, :, pl.ds((h0 - 1) * w, w)],
+                        ext.at[:, 0:w], sem.at[1])
+                    top.start()
+                    top.wait()
+
+                @pl.when(j < nj - 1)
+                def _():
+                    bot = pltpu.make_async_copy(
+                        x_any.at[i, :, pl.ds((h0 + tha) * w, w)],
+                        ext.at[:, (tha + 1) * w:], sem.at[2])
+                    bot.start()
+                    bot.wait()
+
+                main.wait()
+
+            ext_m, ext_p = _masked_rolls(ext[:], (tha + 2) * w)
+            x9 = _im2col(ext[:], ext_m, ext_p, tha)
             mid = ext[:, w:(tha + 1) * w]
             acc = jnp.maximum(conv_dots_l(km_r, x9) + kb_r[:], 0.0)
             acc = acc + mid.astype(_F32)
@@ -723,34 +839,47 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
 
         jax.lax.fori_loop(0, nj, phase_c, 0)
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        _full_spec(km_pack.shape), _full_spec(kb.shape),
+        _full_spec(fwd_p.shape),
+        _full_spec(mix_pack.shape), _full_spec(mb.shape),
+        _full_spec(f_cs.shape),
+        _full_spec(twc.shape), _full_spec(tws.shape),
+        _full_spec(inv_p.shape),
+    ]
+    operands = [x, km_pack, kb.astype(_F32), fwd_p, mix_pack, mb, f_cs,
+                twc, tws, inv_p]
+    if has_pre:
+        in_specs += [_full_spec(pre_km.shape), _full_spec(pre_kb.shape)]
+        operands += [pre_km, pre_kb.astype(_F32)]
+    if has_skip:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(skip)
+    scratch = [
+        pltpu.VMEM((c, 2 * kp, h), _BF16),
+        pltpu.VMEM((c, 2 * kp, h), _BF16),
+        pltpu.VMEM((c, (tha + 2) * w), x.dtype),
+    ]
+    if has_pre:
+        scratch.append(pltpu.VMEM((c_in, (tha + 4) * w), x.dtype))
+    if has_skip:
+        scratch.append(pltpu.VMEM((c, (tha + 2) * w), x.dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((6,)))
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n, c, hw), x.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(n,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                _full_spec(km_pack.shape), _full_spec(kb.shape),
-                _full_spec(fwd_p.shape),
-                _full_spec(mix_pack.shape), _full_spec(mb.shape),
-                _full_spec(f_cs.shape),
-                _full_spec(twc.shape), _full_spec(tws.shape),
-                _full_spec(inv_p.shape),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, c, hw), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((c, 2 * kp, h), _BF16),
-                pltpu.VMEM((c, 2 * kp, h), _BF16),
-                pltpu.VMEM((c, (tha + 2) * w), x.dtype),
-                pltpu.SemaphoreType.DMA((3,)),
-            ],
+            scratch_shapes=scratch,
         ),
         compiler_params=_vmem(120, interpret),
         interpret=interpret,
-    )(x, km_pack, kb.astype(_F32), fwd_p, mix_pack, mb, f_cs, twc, tws,
-      inv_p)
+    )(*operands)
 
 
 def _pick_tc(kp: int) -> int:
@@ -774,22 +903,28 @@ def _spectral_tables(h, w, precision):
 
 def fft_block_nchw(x, img_kmat_pack, img_bias, mix_pack, bias_col,
                    h, w, precision="bf16x2", bound_dtype=jnp.bfloat16,
-                   fused=True, interpret=False):
+                   fused=True, pre_kmat_pack=None, pre_bias=None, skip=None,
+                   interpret=False):
     """One Res-FFT-Conv block (reference arch/Ours/networks.py:15-36) on an
     (N, C, H*W) channel-major activation:
     out = x + relu(conv3x3(x)+b) + irfft2(relu(mix([Re;Im] rfft2(x)))).
 
     fused=True runs the whole block as one kernel per sample (scratch-
     resident spectral boundaries); fused=False runs the 4-kernel pipeline
-    (same math, HBM boundaries).
+    (same math, HBM boundaries). With pre_kmat_pack/pre_bias (and
+    optionally skip), the fused kernel also computes the LAYER conv
+    feeding the block: x <- relu(pre_conv(x) + pre_b [+ skip]).
     """
     (kp, tc, use_ct, fwd_p, inv_p, f_cs, twc, tws) = (
         _spectral_tables(h, w, precision))
     if fused:
         return _block_fused_call(
             x, img_kmat_pack, img_bias, fwd_p, mix_pack, bias_col,
-            f_cs, twc, tws, inv_p, h, w, kp, tc, precision, use_ct,
-            interpret)
+            f_cs, twc, tws, inv_p, pre_kmat_pack, pre_bias, skip,
+            h, w, kp, tc, precision, use_ct,
+            pre_kmat_pack is not None, skip is not None, interpret)
+    assert pre_kmat_pack is None and skip is None, (
+        "layer-conv fusion requires fused=True")
     res = conv3x3(x, img_kmat_pack, img_bias, h, w, relu=True, residual=True,
                   interpret=interpret)
     z = _stage_a_call(x, fwd_p, h, w, kp, precision,
@@ -859,32 +994,24 @@ def resfft_generator_nchw(params, x, num_layers: int = 10,
     a = jnp.transpose(h0, (0, 3, 1, 2)).reshape(n, -1, h * w)
     c = a.shape[1]
 
-    def blk(a, i):
+    def blk(a, i, pre=None, skip=None):
         km, kb, mixp, mb = pp["blocks"][i]
+        pkm, pkb = pre if pre is not None else (None, None)
         return fft_block_nchw(a, km, kb, mixp, mb, h, w, precision=precision,
+                              pre_kmat_pack=pkm, pre_bias=pkb, skip=skip,
                               interpret=interpret)
 
+    # every layer conv (enc_i/dec_i, reference networks.py:95-164) fuses
+    # into the block kernel that consumes its output: the whole generator
+    # interior is 2L+1 kernels, one per Res-FFT block
     skips = []
     for i in range(L):
-        if i > 0:
-            km, kb = pp["enc"][i - 1]
-            a = conv3x3(a, km, kb, h, w, relu=True, interpret=interpret)
-        a = blk(a, i)
+        a = blk(a, i, pre=pp["enc"][i - 1] if i > 0 else None)
         skips.append(a)
 
-    km, kb = pp["enc"][L - 1]
-    a = conv3x3(a, km, kb, h, w, relu=True, interpret=interpret)
-    a = blk(a, L)
-
-    km, kb = pp["dec"][L - 1]
-    a = conv3x3(a, km, kb, h, w, skip=skips[L - 1], relu=True,
-                interpret=interpret)
-    for i in range(L - 1, 0, -1):
-        a = blk(a, 2 * L - i)
-        km, kb = pp["dec"][i - 1]
-        a = conv3x3(a, km, kb, h, w, skip=skips[i - 1], relu=True,
-                    interpret=interpret)
-    a = blk(a, 2 * L)
+    a = blk(a, L, pre=pp["enc"][L - 1])
+    for i in range(L - 1, -1, -1):
+        a = blk(a, 2 * L - i, pre=pp["dec"][i], skip=skips[i])
 
     # exit deconv (C_out=1) + final residual relu in XLA NHWC
     hh = jnp.transpose(a.reshape(n, c, h, w), (0, 2, 3, 1))
