@@ -60,7 +60,7 @@ def main():
     # channel-major Pallas pipeline on TPU — VERDICT r2 item 9) and sweep
     # batch sizes, reporting the best configuration as the headline.
     best = 0.0
-    for batch in (4, 8, 16):
+    for batch in (4, 8, 16, 32):
         x = jax.random.uniform(rng, (batch, 512, 512, 1), jnp.float32)
         fwd = lambda inp: model.generate(params, inp)
         try:

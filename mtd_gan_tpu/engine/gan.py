@@ -55,6 +55,8 @@ class MTDGANTrainer:
         mesh=None,
         sn_iters: int = 4,
         d_microbatch: Optional[int] = None,
+        d_remat: Optional[bool] = False,
+        g_remat: Optional[bool] = None,
         **method_kwargs,
     ):
         self.model = model
@@ -73,6 +75,13 @@ class MTDGANTrainer:
         # the per-task pullbacks never recompute the forwards. Gradients
         # are exact chunk-averages (all d_loss terms are batch means).
         self.d_microbatch = d_microbatch
+        # per-side remat overrides (None = model default). Measured r3 at
+        # batch 160/bf16: D-side no-remat fits HBM and saves ~23 ms/step
+        # (754 vs 777), so it is the default; G-side no-remat fails to
+        # compile (activation footprint). d_microbatch is the memory valve
+        # if larger batches OOM the no-remat D backward.
+        self.d_remat = d_remat
+        self.g_remat = g_remat
         self.tx_g = optim_lib.get_optimizer(optimizer, lr, weight_decay)
         self.tx_d = optim_lib.get_optimizer(optimizer, lr, weight_decay)
         # second AdamW param group for learnable method params
@@ -122,7 +131,7 @@ class MTDGANTrainer:
             def loss_fn(pd):
                 losses_vec, (new_sp, details) = model.d_loss(
                     pd, state.params_g, state.state_d, rng_d, x, y,
-                    update_stats=False,
+                    update_stats=False, remat=self.d_remat,
                 )
                 return losses_vec, (new_sp, details)
 
@@ -229,7 +238,8 @@ class MTDGANTrainer:
         def g_update(state: GANTrainState, rng_g, x, y):
             def loss_fn(pg):
                 total, (new_sp, details) = model.g_loss(
-                    pg, state.params_d, state.state_d, rng_g, x, y
+                    pg, state.params_d, state.state_d, rng_g, x, y,
+                    remat=self.g_remat,
                 )
                 return total, (new_sp, details)
 

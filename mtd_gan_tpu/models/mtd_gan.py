@@ -370,18 +370,22 @@ class MTDGANModel:
         }
         return jnp.stack([disc_loss, rec_loss, consist_loss]), (sp, details)
 
-    def g_loss(self, params_g, params_d, state_d, rng, x, y, train=True):
+    def g_loss(self, params_g, params_d, state_d, rng, x, y, train=True,
+               remat=None):
         # Train paths must differentiate Generator.apply directly: generate()
-        # may route large inputs to the inference-only Pallas-tiled generator,
-        # and differentiating through pallas_call is unsupported (ADVICE r2).
+        # may route large inputs to the inference-only Pallas paths, and
+        # differentiating through pallas_call is unsupported (ADVICE r2).
+        if remat is None:
+            remat = self.remat
         if train:
             gen_fn = lambda pg, z: self.Generator.apply({"params": pg}, z)
-            if self.remat:
+            if remat:
                 gen_fn = jax.checkpoint(gen_fn)
         else:
             gen_fn = self.generate
         fake = gen_fn(params_g, x)
-        (gen_enc, gen_dec, _), sp = self._apply_d(params_d, state_d, fake, rng, train)
+        (gen_enc, gen_dec, _), sp = self._apply_d(params_d, state_d, fake, rng,
+                                                  train, remat=remat)
 
         adv_enc = losses.ls_gan(gen_enc, 1.0)
         adv_dec = losses.nds_loss(gen_dec, 1.0, x - y)

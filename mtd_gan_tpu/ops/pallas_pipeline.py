@@ -595,11 +595,11 @@ def _stage_c_call(t, inv_p, res, h, w, precision, out_dtype_name, interpret):
 
 @partial(jax.jit, static_argnames=("h", "w", "kp", "tc", "precision",
                                    "use_ct", "has_pre", "has_skip",
-                                   "interpret"))
+                                   "has_post", "interpret"))
 def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
-                      inv_p, pre_km, pre_kb, skip,
+                      inv_p, pre_km, pre_kb, skip, post_km, post_kb, img,
                       h, w, kp, tc, precision, use_ct, has_pre, has_skip,
-                      interpret):
+                      has_post, interpret):
     """One whole Res-FFT-Conv block — optionally including the LAYER conv
     that feeds it — as a SINGLE kernel per sample:
       h   = relu(pre_conv3x3(x) + pre_b [+ skip])      (when has_pre; the
@@ -611,7 +611,10 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
     x is read from HBM once (halo'd chunk DMAs feed the convs and the
     W-forward DFT); the spectral boundaries live in two VMEM scratch
     buffers and never touch HBM; the conv residual is staged in the output
-    block and stage C accumulates onto it."""
+    block and stage C accumulates onto it. With has_post, a final phase
+    computes the generator's EXIT deconv + image residual
+    (relu(dec_0(out) + img), reference networks.py:164) over the
+    in-VMEM output block, returning (out, final)."""
     n, c_in, hw = x.shape
     c = km_pack.shape[1]
     tha = 128 if h % 128 == 0 else h
@@ -654,8 +657,17 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
         if has_skip:
             s_any = refs[idx]
             idx += 1
-        o_ref, zscr, tscr, ext = refs[idx:idx + 4]
-        idx += 4
+        if has_post:
+            postk_r, postb_r = refs[idx:idx + 2]
+            img_b = refs[idx + 2]
+            idx += 3
+            o_ref, f_ref = refs[idx:idx + 2]
+            idx += 2
+        else:
+            o_ref = refs[idx]
+            idx += 1
+        zscr, tscr, ext = refs[idx:idx + 3]
+        idx += 3
         if has_pre:
             ext2 = refs[idx]
             idx += 1
@@ -839,6 +851,40 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
 
         jax.lax.fori_loop(0, nj, phase_c, 0)
 
+        if has_post:
+            # exit deconv (C -> 1) + image residual over the finished
+            # in-VMEM output block; halos come straight from o_ref
+            def phase_d(j, _):
+                h0 = j * tha
+                ext[:, w:(tha + 1) * w] = o_ref[0, :, pl.ds(h0 * w, chw)]
+
+                @pl.when(j > 0)
+                def _():
+                    ext[:, 0:w] = o_ref[0, :, pl.ds((h0 - 1) * w, w)]
+
+                @pl.when(j == 0)
+                def _():
+                    ext[:, 0:w] = jnp.zeros((c, w), ext.dtype)
+
+                @pl.when(j < nj - 1)
+                def _():
+                    ext[:, (tha + 1) * w:] = o_ref[
+                        0, :, pl.ds((h0 + tha) * w, w)]
+
+                @pl.when(j == nj - 1)
+                def _():
+                    ext[:, (tha + 1) * w:] = jnp.zeros((c, w), ext.dtype)
+
+                e_m, e_p = _masked_rolls(ext[:], (tha + 2) * w)
+                x9 = _im2col(ext[:], e_m, e_p, tha)
+                acc = conv_dots_l(postk_r, x9) + postb_r[:]
+                acc = acc + img_b[0, :, pl.ds(h0 * w, chw)].astype(_F32)
+                f_ref[0, :, pl.ds(h0 * w, chw)] = jnp.maximum(
+                    acc, 0.0).astype(f_ref.dtype)
+                return 0
+
+            jax.lax.fori_loop(0, nj, phase_d, 0)
+
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
         _full_spec(km_pack.shape), _full_spec(kb.shape),
@@ -856,6 +902,13 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
     if has_skip:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         operands.append(skip)
+    if has_post:
+        in_specs += [
+            _full_spec(post_km.shape), _full_spec(post_kb.shape),
+            pl.BlockSpec((1, 1, hw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [post_km, post_kb.astype(_F32), img]
     scratch = [
         pltpu.VMEM((c, 2 * kp, h), _BF16),
         pltpu.VMEM((c, 2 * kp, h), _BF16),
@@ -866,15 +919,23 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
     if has_skip:
         scratch.append(pltpu.VMEM((c, (tha + 2) * w), x.dtype))
     scratch.append(pltpu.SemaphoreType.DMA((6,)))
+    out_shape = jax.ShapeDtypeStruct((n, c, hw), x.dtype)
+    out_spec = pl.BlockSpec((1, c, hw), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    if has_post:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((n, 1, hw), img.dtype))
+        out_spec = (out_spec,
+                    pl.BlockSpec((1, 1, hw), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n, c, hw), x.dtype),
+        out_shape=out_shape,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(n,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, c, hw), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=out_spec,
             scratch_shapes=scratch,
         ),
         compiler_params=_vmem(120, interpret),
@@ -904,6 +965,7 @@ def _spectral_tables(h, w, precision):
 def fft_block_nchw(x, img_kmat_pack, img_bias, mix_pack, bias_col,
                    h, w, precision="bf16x2", bound_dtype=jnp.bfloat16,
                    fused=True, pre_kmat_pack=None, pre_bias=None, skip=None,
+                   post_kmat_pack=None, post_bias=None, post_img=None,
                    interpret=False):
     """One Res-FFT-Conv block (reference arch/Ours/networks.py:15-36) on an
     (N, C, H*W) channel-major activation:
@@ -921,8 +983,10 @@ def fft_block_nchw(x, img_kmat_pack, img_bias, mix_pack, bias_col,
         return _block_fused_call(
             x, img_kmat_pack, img_bias, fwd_p, mix_pack, bias_col,
             f_cs, twc, tws, inv_p, pre_kmat_pack, pre_bias, skip,
+            post_kmat_pack, post_bias, post_img,
             h, w, kp, tc, precision, use_ct,
-            pre_kmat_pack is not None, skip is not None, interpret)
+            pre_kmat_pack is not None, skip is not None,
+            post_kmat_pack is not None, interpret)
     assert pre_kmat_pack is None and skip is None, (
         "layer-conv fusion requires fused=True")
     res = conv3x3(x, img_kmat_pack, img_bias, h, w, relu=True, residual=True,
@@ -944,8 +1008,14 @@ def prep_generator_params(params, num_layers: int, conv_precision: str = "bf16",
     L = num_layers
     out = {"enc0_k": params["enc_0"]["kernel"],
            "enc0_b": params["enc_0"]["bias"],
+           "enc0_pre": (_pack_traced(conv_kmat(params["enc_0"]["kernel"]),
+                                     conv_precision),
+                        params["enc_0"]["bias"][:, None].astype(_F32)),
            "dec0_k": params["dec_0"]["kernel"],
-           "dec0_b": params["dec_0"]["bias"]}
+           "dec0_b": params["dec_0"]["bias"],
+           "dec0_post": (_pack_traced(conv_kmat(params["dec_0"]["kernel"],
+                                                flip=True), conv_precision),
+                         params["dec_0"]["bias"][:, None].astype(_F32))}
     enc, dec, blocks = [], [], []
     for i in range(1, L + 1):
         p = params[f"enc_{i}"]
@@ -986,7 +1056,9 @@ def resfft_generator_nchw(params, x, num_layers: int = 10,
     pp = prep_generator_params(params, L, conv_precision=conv_precision)
     act = jnp.dtype(act_dtype)
 
-    # entry conv (C_in=1) in XLA NHWC, then channel-major
+    # entry conv (C_in=1) in XLA NHWC, then channel-major. (Fusing it into
+    # block 0 like the other layer convs fails in Mosaic: DMA-slicing a
+    # single-sublane (C_in=1) HBM operand is rejected — measured r3.)
     h0 = jax.lax.conv_general_dilated(
         x.astype(act), pp["enc0_k"].astype(act), (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -994,11 +1066,18 @@ def resfft_generator_nchw(params, x, num_layers: int = 10,
     a = jnp.transpose(h0, (0, 3, 1, 2)).reshape(n, -1, h * w)
     c = a.shape[1]
 
-    def blk(a, i, pre=None, skip=None):
+    img32 = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, 1, h * w).astype(
+        jnp.float32)
+
+    def blk(a_, i, pre=None, skip=None, post=None):
         km, kb, mixp, mb = pp["blocks"][i]
         pkm, pkb = pre if pre is not None else (None, None)
-        return fft_block_nchw(a, km, kb, mixp, mb, h, w, precision=precision,
+        qkm, qkb = post if post is not None else (None, None)
+        return fft_block_nchw(a_, km, kb, mixp, mb, h, w,
+                              precision=precision,
                               pre_kmat_pack=pkm, pre_bias=pkb, skip=skip,
+                              post_kmat_pack=qkm, post_bias=qkb,
+                              post_img=img32 if post is not None else None,
                               interpret=interpret)
 
     # every layer conv (enc_i/dec_i, reference networks.py:95-164) fuses
@@ -1010,14 +1089,12 @@ def resfft_generator_nchw(params, x, num_layers: int = 10,
         skips.append(a)
 
     a = blk(a, L, pre=pp["enc"][L - 1])
-    for i in range(L - 1, -1, -1):
+    for i in range(L - 1, 1, -1):
         a = blk(a, 2 * L - i, pre=pp["dec"][i], skip=skips[i])
-
-    # exit deconv (C_out=1) + final residual relu in XLA NHWC
-    hh = jnp.transpose(a.reshape(n, c, h, w), (0, 2, 3, 1))
-    flip = pp["dec0_k"][::-1, ::-1, :, :]
-    y = jax.lax.conv_general_dilated(
-        hh.astype(act), flip.astype(act), (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    y = y + pp["dec0_b"].astype(act)
-    return jax.nn.relu(y.astype(_F32) + x.astype(_F32)).astype(x.dtype)
+    if L > 1:
+        a = blk(a, 2 * L - 1, pre=pp["dec"][1], skip=skips[1])
+    # last block carries the exit deconv + image residual as its phase D
+    _, final = blk(a, 2 * L, pre=pp["dec"][0], skip=skips[0],
+                   post=pp["dec0_post"])
+    return jnp.transpose(final.reshape(n, 1, h, w),
+                         (0, 2, 3, 1)).astype(x.dtype)
