@@ -15,6 +15,7 @@ step is donated so parameters update in place in HBM.
 
 from __future__ import annotations
 
+import inspect
 from typing import Any, Optional
 
 import jax
@@ -25,7 +26,8 @@ from flax import struct
 from mtd_gan_tpu import optim as optim_lib
 from mtd_gan_tpu.models.base import GANVariables, param_labels
 from mtd_gan_tpu.ops.layers import advance_spectral_state
-from mtd_gan_tpu.mto import combine_grads, get_method, per_task_grads
+from mtd_gan_tpu.mto import (combine_grads, get_method, per_task_grads,
+                             per_task_grads_pruned)
 from mtd_gan_tpu.mto.methods import uw_logsigma_grad
 from mtd_gan_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
@@ -55,8 +57,9 @@ class MTDGANTrainer:
         mesh=None,
         sn_iters: int = 4,
         d_microbatch: Optional[int] = None,
-        d_remat: Optional[bool] = False,
+        d_remat: Optional[bool] = None,
         g_remat: Optional[bool] = None,
+        grad_backend: str = "pruned",
         **method_kwargs,
     ):
         self.model = model
@@ -75,13 +78,28 @@ class MTDGANTrainer:
         # the per-task pullbacks never recompute the forwards. Gradients
         # are exact chunk-averages (all d_loss terms are batch means).
         self.d_microbatch = d_microbatch
-        # per-side remat overrides (None = model default). Measured r3 at
-        # batch 160/bf16: D-side no-remat fits HBM and saves ~23 ms/step
-        # (754 vs 777), so it is the default; G-side no-remat fails to
-        # compile (activation footprint). d_microbatch is the memory valve
-        # if larger batches OOM the no-remat D backward.
+        # per-side remat overrides (None = auto). Measured r3 at batch
+        # 160: D-side no-remat fits HBM at bf16 and saves ~23 ms/step
+        # (754 vs 777) but the fp32 activation footprint is rejected by
+        # the compile helper, so auto = no-remat only under bf16 compute;
+        # G-side no-remat fails to compile even at bf16.
+        # g_remat="save_spectral" is the middle ground: remat the
+        # generator but store each block's spectral output (skips the DFT
+        # recompute, ~74 ms/step at batch 160 bf16 — PERF.md).
+        # d_microbatch is the memory valve if larger batches OOM the
+        # no-remat D backward.
+        if d_remat is None:
+            d_remat = getattr(model, "dtype", None) != jnp.bfloat16
         self.d_remat = d_remat
         self.g_remat = g_remat
+        # per-task gradient backend: "vmap" = one vjp + vmapped basis
+        # pullback (dense: every task's cotangent lane traverses every
+        # branch); "pruned" = K separate grad traces so DCE drops each
+        # task's structurally-dead branches (mto/methods.py
+        # per_task_grads_pruned). Measured r3 (MTD-GAN, batch 160, bf16):
+        # pruned 607 ms/step vs dense 738 — the rec/consist backwards skip
+        # the branches their losses never touch, so pruned is the default.
+        self.grad_backend = grad_backend
         self.tx_g = optim_lib.get_optimizer(optimizer, lr, weight_decay)
         self.tx_d = optim_lib.get_optimizer(optimizer, lr, weight_decay)
         # second AdamW param group for learnable method params
@@ -127,11 +145,30 @@ class MTDGANTrainer:
     def _build_step(self):
         model, method, labels = self.model, self.method, self._labels
 
-        def d_update(state: GANTrainState, rng_d, rng_mto, x, y):
+        # feature-detect the model's loss API: MTDGANModel supports the
+        # hoisted-fake fast path (G(x) computed ONCE per step and its vjp
+        # reused for the G update — PERF.md "train step" levers); ablation
+        # models with the plain d_loss(..., train=True) signature fall back
+        # to computing fake inside each loss
+        d_sig = inspect.signature(model.d_loss).parameters
+        d_extra = {}
+        if "update_stats" in d_sig:
+            d_extra["update_stats"] = False
+        if "remat" in d_sig:
+            d_extra["remat"] = self.d_remat
+        hoist = "fake" in d_sig and hasattr(model, "g_loss_terms")
+        g_remat = (
+            self.g_remat if self.g_remat is not None
+            else getattr(model, "remat", True)
+        )
+
+        def d_update(state: GANTrainState, rng_d, rng_mto, x, y, fake=None):
+            fake_kw = {"fake": fake} if fake is not None else {}
+
             def loss_fn(pd):
                 losses_vec, (new_sp, details) = model.d_loss(
                     pd, state.params_g, state.state_d, rng_d, x, y,
-                    update_stats=False, remat=self.d_remat,
+                    **d_extra, **fake_kw,
                 )
                 return losses_vec, (new_sp, details)
 
@@ -139,23 +176,30 @@ class MTDGANTrainer:
                 mb = self.d_microbatch
                 nm = x.shape[0] // mb
 
-                def chunk(pd, xc, yc, rc):
+                def chunk(pd, *inp):
+                    xc, yc, rc = inp[:3]
+
                     def lf(p):
+                        kw = dict(update_stats=False, remat=False)
+                        if len(inp) > 3:
+                            kw["fake"] = inp[3]
                         lv, (sp_, det) = model.d_loss(
-                            p, state.params_g, state.state_d, rc, xc, yc,
-                            update_stats=False, remat=False,
+                            p, state.params_g, state.state_d, rc, xc, yc, **kw,
                         )
                         return lv, det
 
                     return per_task_grads(lf, pd, model.n_d_tasks)
 
-                xs = (
+                xs = [
                     x.reshape(nm, mb, *x.shape[1:]),
                     y.reshape(nm, mb, *y.shape[1:]),
                     jax.random.split(rng_d, nm),
-                )
+                ]
+                if fake is not None:
+                    xs.append(fake.reshape(nm, mb, *fake.shape[1:]))
+                xs = tuple(xs)
                 shapes = jax.eval_shape(
-                    chunk, state.params_d, xs[0][0], xs[1][0], xs[2][0])
+                    chunk, state.params_d, *(t[0] for t in xs))
                 init = jax.tree_util.tree_map(
                     lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes)
 
@@ -182,7 +226,9 @@ class MTDGANTrainer:
                         )
                     )
             elif method is not None:
-                losses_vec, stacked, (new_sp, details) = per_task_grads(
+                ptg = (per_task_grads_pruned if self.grad_backend == "pruned"
+                       else per_task_grads)
+                losses_vec, stacked, (new_sp, details) = ptg(
                     loss_fn, state.params_d, model.n_d_tasks
                 )
                 grad_d, mto_state, weights = combine_grads(
@@ -251,10 +297,57 @@ class MTDGANTrainer:
             state = state.replace(params_g=params_g, opt_g=opt_g, state_d=new_sp)
             return state, g_total, details
 
+        def g_update_hoisted(state: GANTrainState, rng_g, x, y,
+                             fake_raw, g_pull):
+            # every params_g dependence of g_loss flows through fake, so one
+            # grad w.r.t. fake + the generator vjp pull replaces a second
+            # full G forward (chain rule unchanged; state.params_d is the
+            # POST-D-update value here, matching the reference order)
+            def terms(f):
+                total, (new_sp, details) = model.g_loss_terms(
+                    f, state.params_d, state.state_d, rng_g, x, y,
+                    remat=self.g_remat,
+                )
+                return total, (new_sp, details)
+
+            (g_total, (new_sp, details)), dfake = jax.value_and_grad(
+                terms, has_aux=True
+            )(fake_raw)
+            (grad_g,) = g_pull(dfake)
+            updates, opt_g = self.tx_g.update(grad_g, state.opt_g, state.params_g)
+            params_g = optax.apply_updates(state.params_g, updates)
+            state = state.replace(params_g=params_g, opt_g=opt_g, state_d=new_sp)
+            return state, g_total, details
+
         def step(state: GANTrainState, x, y):
             rng, rng_d, rng_mto, rng_g = jax.random.split(state.rng, 4)
-            state, d_losses, d_details = d_update(state, rng_d, rng_mto, x, y)
-            state, g_total, g_details = g_update(state, rng_g, x, y)
+            if hoist:
+                # ONE generator forward per step: d_loss consumes its value
+                # (stop-grad), the G update consumes its vjp. Identical to
+                # computing it in both losses — params_g only updates after
+                # both (reference engine.py:26-76)
+                gen_fn = lambda pg: model.Generator.apply({"params": pg}, x)
+                if g_remat == "save_spectral":
+                    # middle ground: store each block's spectral output
+                    # (ops/fft_conv.py checkpoint_name) so the backward
+                    # skips recomputing the DFT matmuls but activation
+                    # memory stays bounded (~1 tensor/block, not ~10)
+                    gen_fn = jax.checkpoint(
+                        gen_fn,
+                        policy=jax.checkpoint_policies.save_only_these_names(
+                            "fft_out"),
+                    )
+                elif g_remat:
+                    gen_fn = jax.checkpoint(gen_fn)
+                fake_raw, g_pull = jax.vjp(gen_fn, state.params_g)
+                state, d_losses, d_details = d_update(
+                    state, rng_d, rng_mto, x, y,
+                    fake=jax.lax.stop_gradient(fake_raw))
+                state, g_total, g_details = g_update_hoisted(
+                    state, rng_g, x, y, fake_raw, g_pull)
+            else:
+                state, d_losses, d_details = d_update(state, rng_d, rng_mto, x, y)
+                state, g_total, g_details = g_update(state, rng_g, x, y)
             state = state.replace(rng=rng, step=state.step + 1)
             metrics = {**d_details, **g_details}
             metrics["d_loss"] = jnp.sum(d_losses)

@@ -42,6 +42,10 @@ Array = jax.Array
 
 _INIT = normal_init(0.01)
 
+# cast a pytree of activations to fp32 (identity for fp32 — XLA elides it)
+_f32 = lambda tree: jax.tree_util.tree_map(
+    lambda t: t.astype(jnp.float32), tree)
+
 
 class ResFFTGenerator(nn.Module):
     """Symmetric encoder/decoder with 21 interleaved Res-FFT-Conv blocks."""
@@ -219,6 +223,7 @@ class MTDGANModel:
         dtype=None,
         remat: bool = True,
     ):
+        self.dtype = dtype  # compute dtype (None = fp32); trainer inspects it
         self.Generator = ResFFTGenerator(
             in_channels=1, features=gen_features, num_layers=num_layers,
             kernel_size=3, padding=1, dtype=dtype,
@@ -307,7 +312,7 @@ class MTDGANModel:
 
     # ---- losses ----
     def d_loss(self, params_d, params_g, state_d, rng, x, y, train=True,
-               update_stats=None, remat=None):
+               update_stats=None, remat=None, fake=None):
         """Returns (stacked [disc, rec, consist], (new_state, details)).
 
         The reference applies D four times per step (y, fake, and the two
@@ -318,9 +323,16 @@ class MTDGANModel:
         (VERDICT r1 item 3). Cadence note: spectral-norm power iteration now
         advances twice per d_loss instead of four times — same fixed point,
         slightly slower u convergence in the first steps; dropout draws one
-        mask per fused pair."""
+        mask per fused pair.
+
+        `fake` lets the trainer pass G(x) computed ONCE per step (its value
+        is identical for d_loss and g_loss — params_g updates only after
+        both, engine.py:26-76), dropping a whole generator forward from the
+        step. When None, it is computed here (standalone/golden use)."""
         rngs = jax.random.split(rng, 4)
-        fake = jax.lax.stop_gradient(self.generate(params_g, x))
+        if fake is None:
+            fake = self.generate(params_g, x)
+        fake = jax.lax.stop_gradient(fake)
         sp = state_d
         b = y.shape[0]
 
@@ -328,6 +340,11 @@ class MTDGANModel:
             params_d, sp, jnp.concatenate([y, fake], axis=0), rngs[0], train,
             update_stats=update_stats, remat=remat,
         )
+        # loss math always runs fp32: under the bf16 compute mode
+        # (MTDGANModel(dtype=bfloat16)) the D heads emit bf16, and mean
+        # reductions over 160x64x64 batches need fp32 accumulation
+        pair1 = _f32(pair1)
+        fake = _f32(fake)
         (real_enc, real_dec, real_rec), (fake_enc, fake_dec, fake_rec) = (
             jax.tree_util.tree_map(lambda t: t[:b], pair1),
             jax.tree_util.tree_map(lambda t: t[b:], pair1),
@@ -351,6 +368,7 @@ class MTDGANModel:
                              jnp.clip(fake_rec, 0.0, 1.0)], axis=0),
             rngs[2], train, update_stats=update_stats, remat=remat,
         )
+        pair2 = _f32(pair2)
         (rr_enc, rr_dec, _), (rf_enc, rf_dec, _) = (
             jax.tree_util.tree_map(lambda t: t[:b], pair2),
             jax.tree_util.tree_map(lambda t: t[b:], pair2),
@@ -384,8 +402,19 @@ class MTDGANModel:
         else:
             gen_fn = self.generate
         fake = gen_fn(params_g, x)
+        return self.g_loss_terms(fake, params_d, state_d, rng, x, y,
+                                 train=train, remat=remat)
+
+    def g_loss_terms(self, fake, params_d, state_d, rng, x, y, train=True,
+                     remat=None):
+        """g_loss given a precomputed G(x): every params_g dependence flows
+        through `fake`, so the trainer differentiates this w.r.t. fake and
+        pulls the cotangent through one jax.vjp of the generator (the same
+        chain rule as g_loss, one fewer G forward per step)."""
         (gen_enc, gen_dec, _), sp = self._apply_d(params_d, state_d, fake, rng,
                                                   train, remat=remat)
+        fake = _f32(fake)
+        gen_enc, gen_dec = _f32(gen_enc), _f32(gen_dec)
 
         adv_enc = losses.ls_gan(gen_enc, 1.0)
         adv_dec = losses.nds_loss(gen_dec, 1.0, x - y)

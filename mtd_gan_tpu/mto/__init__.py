@@ -15,6 +15,8 @@ from mtd_gan_tpu.mto.methods import (
     combine_grads,
     get_method,
     per_task_grads,
+    per_task_grads_pruned,
 )
 
-__all__ = ["METHODS", "MTOMethod", "combine_grads", "get_method", "per_task_grads"]
+__all__ = ["METHODS", "MTOMethod", "combine_grads", "get_method",
+           "per_task_grads", "per_task_grads_pruned"]

@@ -183,6 +183,28 @@ def per_task_grads(loss_fn: Callable, params: PyTree, n_tasks: int):
     return losses, stacked, aux
 
 
+def per_task_grads_pruned(loss_fn: Callable, params: PyTree, n_tasks: int):
+    """Same contract as per_task_grads, via K separate jax.grad calls.
+
+    The vmapped basis pullback is DENSE: every task's cotangent lane
+    traverses every branch of the network even where a task's loss is
+    structurally disconnected (e.g. MTD-GAN's rec loss never touches the
+    SEG decoder, and only consist reaches the second D application), moving
+    activation-sized zero tensors through HBM. Separate grad traces let
+    JAX's DCE prune each task's backward to its connected subgraph, while
+    XLA CSE merges the K identical forwards (same params, same rng)."""
+    def f0(p):
+        lv, aux = loss_fn(p)
+        return lv[0], (lv, aux)
+
+    (_, (losses, aux)), g0 = jax.value_and_grad(f0, has_aux=True)(params)
+    grads = [g0]
+    for i in range(1, n_tasks):
+        grads.append(jax.grad(lambda p, i=i: loss_fn(p)[0][i])(params))
+    stacked = jax.tree_util.tree_map(lambda *g: jnp.stack(g), *grads)
+    return losses, stacked, aux
+
+
 # ---------------------------------------------------------------------------
 # weighting methods — produce effective gradient weights w (grad = sum w_i g_i
 # on EVERY param, matching reference weighted_loss.backward())
@@ -314,31 +336,35 @@ def uw_logsigma_grad(state: MTOState, losses: Array) -> Array:
 def _pcgrad_shared(rng: Array, stacked_shared: PyTree, n_tasks: int) -> PyTree:
     """Project-conflicting-gradients on the shared subtree.
     Each task's gradient is sequentially projected against the ORIGINAL
-    gradients of the other tasks in random order (reference :449-464)."""
+    gradients of the other tasks in random order (reference :449-464).
+
+    TPU note: the projected gradient always stays in span{g_1..g_k}, so the
+    whole sequential projection runs in k-dim COEFFICIENT space against the
+    Gram matrix — two passes over the stacked gradients (Gram + final
+    weighted sum) instead of 3k sequential tree-wide dot/axpy passes.
+    Measured: the three 16 ms projection while-loops in the train step
+    collapse to ~1 ms (PERF.md r3). Same math: dot(g, g_j) = c @ G[:, j]
+    and g - coef*g_j maps to c[j] -= coef."""
     k = n_tasks
+    gram = _gram(stacked_shared, k)
 
     def project_one(rng_i, i):
-        gi = _select_task(stacked_shared, i)
         order = jax.random.permutation(rng_i, k)
+        c0 = jnp.zeros((k,), jnp.float32).at[i].set(1.0)
 
-        def body(carry, j_idx):
-            g = carry
+        def body(c, j_idx):
             j = order[j_idx]
-            gj = _select_task(stacked_shared, j)
-            dot = _tree_vdot(g, gj)
-            gj_sq = _tree_vdot(gj, gj) + 1e-12
+            dot = c @ gram[:, j]
+            gj_sq = gram[j, j] + 1e-12
             coef = jnp.where(dot < 0, dot / gj_sq, 0.0)
-            g = jax.tree_util.tree_map(
-                lambda a, b: a - coef.astype(a.dtype) * b, g, gj
-            )
-            return g, None
+            return c.at[j].add(-coef), None
 
-        g_proj, _ = jax.lax.scan(body, gi, jnp.arange(k))
-        return g_proj
+        c_proj, _ = jax.lax.scan(body, c0, jnp.arange(k))
+        return c_proj
 
     rngs = jax.random.split(rng, k)
-    projected = [project_one(rngs[i], i) for i in range(k)]
-    return jax.tree_util.tree_map(lambda *gs: sum(gs), *projected)
+    w = sum(project_one(rngs[i], i) for i in range(k))
+    return _weighted_sum(stacked_shared, w)
 
 
 def _cagrad_shared(stacked_shared: PyTree, n_tasks: int, c: float = 0.4,

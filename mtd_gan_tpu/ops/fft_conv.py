@@ -20,6 +20,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from mtd_gan_tpu.ops import dft
 from mtd_gan_tpu.ops.layers import Conv, normal_init
@@ -105,6 +106,11 @@ def fft_conv_block(
 
 def _finish_block(x: Array, fft_out: Array, img_kernel: Array,
                   img_bias: Array, orig_dtype) -> Array:
+    # named so jax.checkpoint(policy=save_only_these_names("fft_out")) can
+    # keep the spectral output and skip recomputing the DFT matmuls (the
+    # bulk of the block's FLOPs) in the backward pass — the trainer's
+    # g_remat="save_spectral" option
+    fft_out = checkpoint_name(fft_out, "fft_out")
     # --- spatial branch + residual mixing ---
     img = jax.lax.conv_general_dilated(
         x,

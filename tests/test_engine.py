@@ -136,3 +136,36 @@ def test_surgery_frozen_params_not_decayed(rng):
     assert not np.allclose(
         np.asarray(state.params_d["conv11"]["kernel"]),
         np.asarray(fresh.params_d["conv11"]["kernel"]))
+
+
+def test_mtd_gan_bf16_compute_mode(rng):
+    """bf16 compute / fp32 master params (train.py --bf16): params and grads
+    stay fp32, losses are computed fp32 and track the fp32 model loosely."""
+    kw = dict(gen_features=4, disc_features=4, num_layers=1)
+    m32 = MTDGANModel(**kw)
+    m16 = MTDGANModel(dtype=jnp.bfloat16, **kw)
+    x, y = _toy_batch(rng, n=2)
+
+    t32 = MTDGANTrainer(m32, method="pcgrad", lr=1e-4)
+    t16 = MTDGANTrainer(m16, method="pcgrad", lr=1e-4)
+    s32 = t32.create_state(rng)
+    s16 = t16.create_state(rng)
+    # identical master params (init is fp32 in both)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        s32.params_d, s16.params_d)
+
+    for i in range(3):
+        s32, mt32 = t32.train_step(s32, x, y)
+        s16, mt16 = t16.train_step(s16, x, y)
+    # master params remain fp32 after bf16-compute steps
+    for leaf in jax.tree_util.tree_leaves(s16.params_g):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(s16.params_d):
+        assert leaf.dtype == jnp.float32
+    # losses are fp32 scalars and track the fp32 trajectory loosely
+    assert mt16["g_loss"].dtype == jnp.float32
+    for k in ("d_loss", "g_loss"):
+        a, b = float(mt32[k]), float(mt16[k])
+        assert np.isfinite(b)
+        assert abs(a - b) / (abs(a) + 1e-6) < 0.05, (k, a, b)

@@ -27,6 +27,23 @@ def test_per_task_grads():
     np.testing.assert_allclose(stacked, [[2.0, 4.0], [1.0, 1.0], [3.0, 0.0]])
 
 
+def test_per_task_grads_pruned_matches_vmap():
+    """The DCE-friendly K-grad backend returns identical (losses, stacked,
+    aux) to the vmapped basis pullback."""
+    def loss_fn(p):
+        return (jnp.stack([jnp.sum(p["a"] ** 2), jnp.sum(p["b"]),
+                           3.0 * p["a"][0] + p["b"][1]]),
+                {"detail": jnp.sum(p["a"])})
+
+    p = {"a": jnp.array([1.0, 2.0]), "b": jnp.array([3.0, 4.0])}
+    l1, s1, a1 = mto.per_task_grads(loss_fn, p, 3)
+    l2, s2, a2 = mto.per_task_grads_pruned(loss_fn, p, 3)
+    np.testing.assert_allclose(l1, l2)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(x, y), s1, s2)
+    np.testing.assert_allclose(a1["detail"], a2["detail"])
+
+
 def test_pcgrad_projection_two_tasks():
     """Conflicting 2-task case with known projection: g1=(1,0), g2=(-1,1).
     dot = -1 < 0: g1' = g1 - (-1/2)g2 = (0.5, 0.5); g2' = g2 - (-1/1)g1 = (0,1).

@@ -63,6 +63,9 @@ def get_args_parser():
     p.add_argument("--seed", default=2024, type=int)
     p.add_argument("--model-kwargs", default="", type=str,
                    help='JSON kwargs for the model ctor (e.g. \'{"out_ch": 8}\')')
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute / fp32 master params (models with a "
+                        "dtype arg; loss math stays fp32)")
     p.add_argument("--profile-dir", default="", type=str,
                    help="capture a jax.profiler trace of the first epoch")
     p.add_argument("--memo", default="", type=str)
@@ -94,7 +97,10 @@ def main(args):
     train_pre = make_train_preprocess(args.dataset_type_train, args.dataset)
     eval_pre = make_eval_preprocess(args.dataset_type_valid, args.dataset)
 
-    model = get_model(args.model, **json.loads(args.model_kwargs or "{}"))
+    model_kwargs = json.loads(args.model_kwargs or "{}")
+    if args.bf16:
+        model_kwargs.setdefault("dtype", jnp.bfloat16)
+    model = get_model(args.model, **model_kwargs)
     family = family_of(args.model)
 
     mesh = make_mesh() if args.multi_gpu_mode == "DataParallel" else None
