@@ -60,6 +60,7 @@ class MTDGANTrainer:
         d_remat: Optional[bool] = None,
         g_remat: Optional[bool] = None,
         grad_backend: str = "pruned",
+        hoist: Optional[bool] = None,
         **method_kwargs,
     ):
         self.model = model
@@ -100,6 +101,11 @@ class MTDGANTrainer:
         # pruned 607 ms/step vs dense 738 — the rec/consist backwards skip
         # the branches their losses never touch, so pruned is the default.
         self.grad_backend = grad_backend
+        # hoist: None = auto (use the single-G-forward fast path when the
+        # model's loss API supports it); False forces the classic
+        # two-forward step — trajectory equality between the two is pinned
+        # by tests/test_engine.py::test_hoisted_step_matches_two_forward
+        self.hoist = hoist
         self.tx_g = optim_lib.get_optimizer(optimizer, lr, weight_decay)
         self.tx_d = optim_lib.get_optimizer(optimizer, lr, weight_decay)
         # second AdamW param group for learnable method params
@@ -157,6 +163,8 @@ class MTDGANTrainer:
         if "remat" in d_sig:
             d_extra["remat"] = self.d_remat
         hoist = "fake" in d_sig and hasattr(model, "g_loss_terms")
+        if self.hoist is not None:
+            hoist = hoist and self.hoist
         g_remat = (
             self.g_remat if self.g_remat is not None
             else getattr(model, "remat", True)

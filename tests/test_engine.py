@@ -169,3 +169,30 @@ def test_mtd_gan_bf16_compute_mode(rng):
         a, b = float(mt32[k]), float(mt16[k])
         assert np.isfinite(b)
         assert abs(a - b) / (abs(a) + 1e-6) < 0.05, (k, a, b)
+
+
+def test_hoisted_step_matches_two_forward(rng):
+    """The single-G-forward fast path (hoist=auto: fake computed once, its
+    vjp reused for the G update) walks the same trajectory as the classic
+    two-forward step — the chain rule through `fake` is the same math."""
+    kw = dict(gen_features=4, disc_features=4, num_layers=1)
+    th = MTDGANTrainer(MTDGANModel(**kw), method="pcgrad", lr=1e-4)
+    tc = MTDGANTrainer(MTDGANModel(**kw), method="pcgrad", lr=1e-4,
+                       hoist=False)
+    sh = th.create_state(rng)
+    sc = tc.create_state(rng)
+    x, y = _toy_batch(rng, n=2)
+    for _ in range(3):
+        sh, mh = th.train_step(sh, x, y)
+        sc, mc = tc.train_step(sc, x, y)
+    for k in ("d_loss", "g_loss"):
+        np.testing.assert_allclose(
+            float(mh[k]), float(mc[k]), rtol=1e-5, err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6),
+        sh.params_g, sc.params_g)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6),
+        sh.params_d, sc.params_d)
