@@ -9,7 +9,8 @@ DUGANTrainer — DU-GAN (reference engine.py:658-784): three optimizers
 
 from __future__ import annotations
 
-from typing import Any
+import inspect
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,12 +34,18 @@ class AdvTrainState:
 
 class AdversarialTrainer:
     def __init__(self, model, optimizer="adamw", lr=1e-4, weight_decay=5e-4,
-                 n_critic=None, mesh=None):
+                 n_critic=None, mesh=None, hoist: Optional[bool] = None):
         self.model = model
         self.n_critic = n_critic or getattr(model, "d_steps_per_g", 1)
         self.tx_g = optim_lib.get_optimizer(optimizer, lr, weight_decay)
         self.tx_d = optim_lib.get_optimizer(optimizer, lr, weight_decay)
         self.mesh = mesh
+        # hoist: compute G(x) ONCE per step instead of n_critic+1 times —
+        # params_g is constant across the critic scan, so the value is
+        # identical, and the G update reuses the forward's vjp (same
+        # pattern as engine/gan.py). None = auto (on when the model's loss
+        # API supports it); False forces the classic per-loss forwards.
+        self.hoist = hoist
         self._step_fn = None
 
     def create_state(self, rng, patch_shape=(1, 64, 64, 1)) -> AdvTrainState:
@@ -55,16 +62,34 @@ class AdversarialTrainer:
 
     def _build_step(self):
         model = self.model
+        hoist = (
+            "fake" in inspect.signature(model.d_loss).parameters
+            and hasattr(model, "g_loss_terms")
+        )
+        if self.hoist is not None:
+            hoist = hoist and self.hoist
 
         def step(state: AdvTrainState, x, y):
             rng, rng_g, *rng_ds = jax.random.split(state.rng, 2 + self.n_critic)
+
+            if hoist:
+                # ONE G forward per step: the critic scan consumes its
+                # stop-gradient value (params_g is a loop constant), the G
+                # update reuses its vjp pull
+                fake_raw, g_pull = jax.vjp(
+                    lambda pg: model.Generator.apply({"params": pg}, x),
+                    state.params_g,
+                )
+                fake_kw = {"fake": jax.lax.stop_gradient(fake_raw)}
+            else:
+                fake_kw = {}
 
             def d_once(carry, rng_d):
                 params_d, state_d, opt_d = carry
 
                 def loss_fn(pd):
                     loss, (sp, det) = model.d_loss(
-                        pd, state.params_g, state_d, rng_d, x, y
+                        pd, state.params_g, state_d, rng_d, x, y, **fake_kw
                     )
                     return loss, (sp, det)
 
@@ -80,15 +105,27 @@ class AdversarialTrainer:
                 jnp.stack(rng_ds),
             )
 
-            def g_loss_fn(pg):
-                total, (sp, det) = model.g_loss(
-                    pg, params_d, state_d, rng_g, x, y
-                )
-                return total, (sp, det)
+            if hoist:
+                def terms_fn(f):
+                    total, (sp, det) = model.g_loss_terms(
+                        f, params_d, state_d, rng_g, x, y
+                    )
+                    return total, (sp, det)
 
-            (g_total, (state_d, g_details)), grads = jax.value_and_grad(
-                g_loss_fn, has_aux=True
-            )(state.params_g)
+                (g_total, (state_d, g_details)), dfake = jax.value_and_grad(
+                    terms_fn, has_aux=True
+                )(fake_raw)
+                (grads,) = g_pull(dfake)
+            else:
+                def g_loss_fn(pg):
+                    total, (sp, det) = model.g_loss(
+                        pg, params_d, state_d, rng_g, x, y
+                    )
+                    return total, (sp, det)
+
+                (g_total, (state_d, g_details)), grads = jax.value_and_grad(
+                    g_loss_fn, has_aux=True
+                )(state.params_g)
             updates, opt_g = self.tx_g.update(grads, state.opt_g, state.params_g)
             params_g = optax.apply_updates(state.params_g, updates)
 
@@ -134,12 +171,15 @@ class DUGANTrainState:
 
 class DUGANTrainer:
     def __init__(self, model, optimizer="adamw", lr=1e-4, weight_decay=5e-4,
-                 mesh=None):
+                 mesh=None, hoist: Optional[bool] = None):
         self.model = model
         self.tx_g = optim_lib.get_optimizer(optimizer, lr, weight_decay)
         self.tx_img = optim_lib.get_optimizer(optimizer, lr, weight_decay)
         self.tx_grad = optim_lib.get_optimizer(optimizer, lr, weight_decay)
         self.mesh = mesh
+        # hoist: one G forward serves both D losses + the G update's vjp
+        # (see AdversarialTrainer); None = auto, False = classic forwards
+        self.hoist = hoist
         self._step_fn = None
 
     def create_state(self, rng, patch_shape=(1, 64, 64, 1)) -> DUGANTrainState:
@@ -160,13 +200,28 @@ class DUGANTrainer:
 
     def _build_step(self):
         model = self.model
+        hoist = (
+            "fake" in inspect.signature(model.image_d_loss).parameters
+            and hasattr(model, "g_loss_terms")
+        )
+        if self.hoist is not None:
+            hoist = hoist and self.hoist
 
         def step(state: DUGANTrainState, x, y):
             rng, r_img, r_grad, r_g = jax.random.split(state.rng, 4)
 
+            if hoist:
+                fake_raw, g_pull = jax.vjp(
+                    lambda pg: model.Generator.apply({"params": pg}, x),
+                    state.params_g,
+                )
+                fake_kw = {"fake": jax.lax.stop_gradient(fake_raw)}
+            else:
+                fake_kw = {}
+
             def img_loss(p):
                 return model.image_d_loss(p, state.params_g, state.state_img_d,
-                                          r_img, x, y)
+                                          r_img, x, y, **fake_kw)
 
             (img_total, (sp_img, img_det)), g_img = jax.value_and_grad(
                 img_loss, has_aux=True)(state.params_img_d)
@@ -176,7 +231,7 @@ class DUGANTrainer:
 
             def grad_loss(p):
                 return model.grad_d_loss(p, state.params_g, state.state_grad_d,
-                                         r_grad, x, y)
+                                         r_grad, x, y, **fake_kw)
 
             (grad_total, (sp_grad, grad_det)), g_grad = jax.value_and_grad(
                 grad_loss, has_aux=True)(state.params_grad_d)
@@ -184,12 +239,21 @@ class DUGANTrainer:
                                                 state.params_grad_d)
             params_grad_d = optax.apply_updates(state.params_grad_d, upd)
 
-            def g_loss(p):
-                return model.g_loss(p, params_img_d, params_grad_d,
-                                    sp_img, sp_grad, r_g, x, y)
+            if hoist:
+                def g_terms(f):
+                    return model.g_loss_terms(f, params_img_d, params_grad_d,
+                                              sp_img, sp_grad, r_g, x, y)
 
-            (g_total, (sp_img2, sp_grad2, g_det)), g_g = jax.value_and_grad(
-                g_loss, has_aux=True)(state.params_g)
+                (g_total, (sp_img2, sp_grad2, g_det)), dfake = (
+                    jax.value_and_grad(g_terms, has_aux=True)(fake_raw))
+                (g_g,) = g_pull(dfake)
+            else:
+                def g_loss(p):
+                    return model.g_loss(p, params_img_d, params_grad_d,
+                                        sp_img, sp_grad, r_g, x, y)
+
+                (g_total, (sp_img2, sp_grad2, g_det)), g_g = jax.value_and_grad(
+                    g_loss, has_aux=True)(state.params_g)
             upd, opt_g = self.tx_g.update(g_g, state.opt_g, state.params_g)
             params_g = optax.apply_updates(state.params_g, upd)
 

@@ -239,15 +239,24 @@ class DUGANModel:
                    "cr_loss": cr_loss}
         return total, sp, details
 
-    def image_d_loss(self, params_d, params_g, state_d, rng, x, y, train=True):
-        fake = jax.lax.stop_gradient(self.generate(params_g, x))
+    def image_d_loss(self, params_d, params_g, state_d, rng, x, y, train=True,
+                     fake=None):
+        # `fake` is the RAW G(x), hoisted by the trainer so one generator
+        # forward serves both D losses and the G update (params_g is
+        # constant until the G step — reference engine.py:658-784)
+        if fake is None:
+            fake = self.generate(params_g, x)
+        fake = jax.lax.stop_gradient(fake)
         total, sp, det = self._d_loss_domain(
             self.Image_Discriminator, params_d, state_d, rng, y, fake, x, train
         )
         return total, (sp, {f"D/Img_{k}": v for k, v in det.items()})
 
-    def grad_d_loss(self, params_d, params_g, state_d, rng, x, y, train=True):
-        fake = jax.lax.stop_gradient(self.sobel(self.generate(params_g, x)))
+    def grad_d_loss(self, params_d, params_g, state_d, rng, x, y, train=True,
+                    fake=None):
+        if fake is None:
+            fake = self.generate(params_g, x)
+        fake = jax.lax.stop_gradient(self.sobel(fake))
         total, sp, det = self._d_loss_domain(
             self.Grad_Discriminator, params_d, state_d, rng,
             self.sobel(y), fake, self.sobel(x), train,
@@ -257,6 +266,13 @@ class DUGANModel:
     def g_loss(self, params_g, params_img_d, params_grad_d,
                state_img_d, state_grad_d, rng, x, y, train=True):
         fake = self.Generator.apply({"params": params_g}, x)
+        return self.g_loss_terms(fake, params_img_d, params_grad_d,
+                                 state_img_d, state_grad_d, rng, x, y,
+                                 train=train)
+
+    def g_loss_terms(self, fake, params_img_d, params_grad_d,
+                     state_img_d, state_grad_d, rng, x, y, train=True):
+        """g_loss given a precomputed G(x) (see wgan_vgg.g_loss_terms)."""
         (ie, idec), sp_i = self._apply_d(
             self.Image_Discriminator, params_img_d, state_img_d, fake, train)
         (ge, gdec), sp_g = self._apply_d(

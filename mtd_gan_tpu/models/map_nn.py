@@ -96,14 +96,24 @@ class MAPNNModel:
     def _d(self, params_d, z):
         return self.Discriminator.apply({"params": params_d}, z)
 
-    def d_loss(self, params_d, params_g, state_d, rng, x, y, train=True):
-        fake = jax.lax.stop_gradient(self.generate(params_g, x))
+    def d_loss(self, params_d, params_g, state_d, rng, x, y, train=True,
+               fake=None):
+        # `fake` lets the trainer hoist G(x) out of the n-critic scan —
+        # params_g is constant across the 4 D updates (engine.py:538-653)
+        if fake is None:
+            fake = self.generate(params_g, x)
+        fake = jax.lax.stop_gradient(fake)
         wgan = -jnp.mean(self._d(params_d, y)) + jnp.mean(self._d(params_d, fake))
         gp = wgan_gradient_penalty(partial(self._d, params_d), rng, y, fake)
         return wgan + gp, (state_d, {"D/d_loss": wgan, "D/gp_loss": gp})
 
     def g_loss(self, params_g, params_d, state_d, rng, x, y, train=True):
         fake = self.Generator.apply({"params": params_g}, x)
+        return self.g_loss_terms(fake, params_d, state_d, rng, x, y,
+                                 train=train)
+
+    def g_loss_terms(self, fake, params_d, state_d, rng, x, y, train=True):
+        """g_loss given a precomputed G(x) (see wgan_vgg.g_loss_terms)."""
         adv = -jnp.mean(self._d(params_d, fake))
         mse = jnp.mean((fake - y) ** 2)
         edge = jnp.mean(

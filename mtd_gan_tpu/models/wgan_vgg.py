@@ -109,8 +109,15 @@ class WGANVGGModel:
     def _d(self, params_d, z):
         return self.Discriminator.apply({"params": params_d}, z)
 
-    def d_loss(self, params_d, params_g, state_d, rng, x, y, train=True):
-        fake = jax.lax.stop_gradient(self.generate(params_g, x))
+    def d_loss(self, params_d, params_g, state_d, rng, x, y, train=True,
+               fake=None):
+        # `fake` lets the trainer hoist G(x) out of the n-critic scan:
+        # params_g is constant across the 4 D updates (reference
+        # engine.py:419-533 recomputes it per update with the same weights),
+        # so one forward serves all of them
+        if fake is None:
+            fake = self.generate(params_g, x)
+        fake = jax.lax.stop_gradient(fake)
         d_fake = self._d(params_d, fake)
         d_real = self._d(params_d, y)
         wgan = -jnp.mean(d_real) + jnp.mean(d_fake)
@@ -120,6 +127,13 @@ class WGANVGGModel:
 
     def g_loss(self, params_g, params_d, state_d, rng, x, y, train=True):
         fake = self.Generator.apply({"params": params_g}, x)
+        return self.g_loss_terms(fake, params_d, state_d, rng, x, y,
+                                 train=train)
+
+    def g_loss_terms(self, fake, params_d, state_d, rng, x, y, train=True):
+        """g_loss given a precomputed G(x): all params_g dependence flows
+        through `fake`, so the trainer differentiates w.r.t. fake and pulls
+        the cotangent through one jax.vjp of the generator."""
         adv = -jnp.mean(self._d(params_d, fake))
         if self.feature_fn is not None:
             p = jnp.mean(

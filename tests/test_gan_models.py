@@ -113,3 +113,47 @@ def test_dugan_trainer_step(rng):
     for k in ["d_img_loss", "d_grad_loss", "g_loss"]:
         assert np.isfinite(float(metrics[k])), k
     assert int(state.step) == 1
+
+
+def test_wgan_hoisted_step_matches_two_forward(rng):
+    """The single-G-forward step (fake hoisted out of the critic scan, vjp
+    reused for the G update) walks the same trajectory as the classic
+    per-loss forwards — params_g is constant across the critic updates."""
+    mh = WGANVGGModel(use_perceptual=False)
+    mc = WGANVGGModel(use_perceptual=False)
+    th = AdversarialTrainer(mh, lr=1e-4)
+    tc = AdversarialTrainer(mc, lr=1e-4, hoist=False)
+    sh = th.create_state(rng)
+    sc = tc.create_state(rng)
+    x, y = _batch(rng)
+    for _ in range(2):
+        sh, mth = th.train_step(sh, x, y)
+        sc, mtc = tc.train_step(sc, x, y)
+    for k in ("d_loss", "g_loss"):
+        np.testing.assert_allclose(float(mth[k]), float(mtc[k]),
+                                   rtol=1e-5, err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6),
+        (sh.params_g, sh.params_d), (sc.params_g, sc.params_d))
+
+
+def test_dugan_hoisted_step_matches_two_forward(rng):
+    """Same trajectory-equality pin for DU-GAN's three-optimizer step."""
+    kw = dict(gen_features=4, num_layers=2, conv_dim=8)
+    th = DUGANTrainer(DUGANModel(**kw), lr=1e-4)
+    tc = DUGANTrainer(DUGANModel(**kw), lr=1e-4, hoist=False)
+    sh = th.create_state(rng)
+    sc = tc.create_state(rng)
+    x, y = _batch(rng)
+    for _ in range(2):
+        sh, mth = th.train_step(sh, x, y)
+        sc, mtc = tc.train_step(sc, x, y)
+    for k in ("d_img_loss", "d_grad_loss", "g_loss"):
+        np.testing.assert_allclose(float(mth[k]), float(mtc[k]),
+                                   rtol=1e-5, err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6),
+        (sh.params_g, sh.params_img_d, sh.params_grad_d),
+        (sc.params_g, sc.params_img_d, sc.params_grad_d))
