@@ -312,9 +312,13 @@ class MTDGANTrainer:
             # full G forward (chain rule unchanged; state.params_d is the
             # POST-D-update value here, matching the reference order)
             def terms(f):
+                # remat here controls the D application inside g_loss;
+                # "save_spectral" is a generator-only policy, so anything
+                # non-bool falls back to the model default
                 total, (new_sp, details) = model.g_loss_terms(
                     f, state.params_d, state.state_d, rng_g, x, y,
-                    remat=self.g_remat,
+                    remat=(self.g_remat if isinstance(self.g_remat, bool)
+                           else None),
                 )
                 return total, (new_sp, details)
 

@@ -98,9 +98,17 @@ def main(args):
     eval_pre = make_eval_preprocess(args.dataset_type_valid, args.dataset)
 
     model_kwargs = json.loads(args.model_kwargs or "{}")
-    if args.bf16:
-        model_kwargs.setdefault("dtype", jnp.bfloat16)
-    model = get_model(args.model, **model_kwargs)
+    if args.bf16 and "dtype" not in model_kwargs:
+        try:
+            model_kwargs["dtype"] = jnp.bfloat16
+            model = get_model(args.model, **model_kwargs)
+        except TypeError:
+            # model ctor has no dtype arg — run it fp32 rather than crash
+            model_kwargs.pop("dtype")
+            print(f"note: {args.model} does not support --bf16; using fp32")
+            model = get_model(args.model, **model_kwargs)
+    else:
+        model = get_model(args.model, **model_kwargs)
     family = family_of(args.model)
 
     mesh = make_mesh() if args.multi_gpu_mode == "DataParallel" else None
