@@ -77,26 +77,64 @@ def _dft_h_factors(h: int) -> Tuple[np.ndarray, np.ndarray]:
     ).astype(np.float32)
 
 
+@lru_cache(maxsize=16)
+def _h_combined_fwd(h: int) -> np.ndarray:
+    """Complex-combined forward H factor, shape (2, 2, h, h) indexed
+    [t, s, m, n]: output part t (0=re, 1=im) from input part s (0=re,
+    1=im). One einsum contracting (s, n) — a single 2h-deep GEMM —
+    replaces the four h-deep real einsums of the naive complex matmul
+    (at the 64x64 training patches 2h = 128 exactly fills the MXU's
+    contraction depth; at h-deep the MXU ran half empty)."""
+    hr, hi = _dft_h_factors(h)
+    f = np.empty((2, 2, h, h), np.float32)
+    f[0, 0], f[0, 1] = hr, -hi
+    f[1, 0], f[1, 1] = hi, hr
+    return f
+
+
+@lru_cache(maxsize=16)
+def _h_combined_inv(h: int) -> np.ndarray:
+    """Conjugate (inverse) variant of :func:`_h_combined_fwd`."""
+    hr, hi = _dft_h_factors(h)
+    f = np.empty((2, 2, h, h), np.float32)
+    f[0, 0], f[0, 1] = hr, hi
+    f[1, 0], f[1, 1] = -hi, hr
+    return f
+
+
+@lru_cache(maxsize=16)
+def _w_combined_fwd(w: int) -> np.ndarray:
+    """[wr | wi] K-combined forward W factor, shape (w, 2k)."""
+    wr, wi = _rdft_w_factors(w)
+    return np.concatenate([wr, wi], axis=1)
+
+
+@lru_cache(maxsize=16)
+def _w_combined_inv(w: int) -> np.ndarray:
+    """Stacked inverse W factors with the Hermitian fold, shape (2, k, w)
+    indexed [t, k, w] for input part t (0=re, 1=im)."""
+    a, b = _irdft_w_factors(w)
+    return np.stack([a, b])
+
+
 def rfft2_matmul(x: Array) -> Tuple[Array, Array]:
     """NHWC real input -> (real, imag) half-spectra, shape (N, H, K, C),
-    equal to jnp.fft.rfft2(x, axes=(1, 2), norm='ortho')."""
+    equal to jnp.fft.rfft2(x, axes=(1, 2), norm='ortho').
+
+    Complex-combined factors (2 einsums instead of 6): the W transform
+    emits both spectrum parts from one K-combined factor, and the H
+    transform contracts parts and rows together as one (2h)-deep GEMM —
+    the MXU-filling formulation at training patch sizes (h=64 -> 128)."""
     n, h, w, c = x.shape
-    wr, wi = _rdft_w_factors(w)
-    wr, wi = jnp.asarray(wr), jnp.asarray(wi)
+    k = w // 2 + 1
     x32 = x.astype(jnp.float32)
-    # W-axis real transform: (N, H, W, C) x (W, K) -> (N, H, K, C)
-    zr = jnp.einsum("nhwc,wk->nhkc", x32, wr)
-    zi = jnp.einsum("nhwc,wk->nhkc", x32, wi)
-    # H-axis complex transform
-    hr, hi = _dft_h_factors(h)
-    hr, hi = jnp.asarray(hr), jnp.asarray(hi)
-    out_r = jnp.einsum("mh,nhkc->nmkc", hr, zr) - jnp.einsum(
-        "mh,nhkc->nmkc", hi, zi
-    )
-    out_i = jnp.einsum("mh,nhkc->nmkc", hr, zi) + jnp.einsum(
-        "mh,nhkc->nmkc", hi, zr
-    )
-    return out_r, out_i
+    # W-axis real transform: (N, H, W, C) x (W, 2K) -> (N, H, 2, K, C)
+    fw = jnp.asarray(_w_combined_fwd(w))
+    z = jnp.einsum("nhwc,wk->nhkc", x32, fw).reshape(n, h, 2, k, c)
+    # H-axis complex transform, parts + rows contracted together
+    fh = jnp.asarray(_h_combined_fwd(h))
+    out = jnp.einsum("tsmh,nhskc->ntmkc", fh, z)
+    return out[:, 0], out[:, 1]
 
 
 def fft2_matmul(x: Array) -> Tuple[Array, Array]:
@@ -142,19 +180,15 @@ def ifft2_matmul(z_re: Array, z_im: Array) -> Tuple[Array, Array]:
 
 def irfft2_matmul(z_re: Array, z_im: Array, s: Tuple[int, int]) -> Array:
     """(real, imag) half-spectra (N, H, K, C) -> real NHWC, equal to
-    jnp.fft.irfft2(z, s=s, axes=(1, 2), norm='ortho')."""
+    jnp.fft.irfft2(z, s=s, axes=(1, 2), norm='ortho').
+
+    Complex-combined factors (2 einsums instead of 6) — see
+    :func:`rfft2_matmul`."""
     h, w = s
-    # inverse H-axis complex transform (conjugate factors)
-    hr, hi = _dft_h_factors(h)
-    hr = jnp.asarray(hr)
-    hi = -jnp.asarray(hi)  # conjugate
-    tr = jnp.einsum("mh,nhkc->nmkc", hr, z_re) - jnp.einsum(
-        "mh,nhkc->nmkc", hi, z_im
-    )
-    ti = jnp.einsum("mh,nhkc->nmkc", hr, z_im) + jnp.einsum(
-        "mh,nhkc->nmkc", hi, z_re
-    )
-    # inverse W-axis with Hermitian fold
-    a, b = _irdft_w_factors(w)
-    a, b = jnp.asarray(a), jnp.asarray(b)
-    return jnp.einsum("nmkc,kw->nmwc", tr, a) + jnp.einsum("nmkc,kw->nmwc", ti, b)
+    zs = jnp.stack([z_re, z_im], axis=2)  # (N, H, 2, K, C)
+    # inverse H-axis complex transform (conjugate factors), one 2h-GEMM
+    fh = jnp.asarray(_h_combined_inv(h))
+    t = jnp.einsum("tsmh,nhskc->ntmkc", fh, zs)
+    # inverse W-axis with Hermitian fold, parts contracted together
+    fw = jnp.asarray(_w_combined_inv(w))
+    return jnp.einsum("ntmkc,tkw->nmwc", t, fw)

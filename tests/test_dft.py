@@ -37,3 +37,34 @@ def test_irfft2_matmul_matches_numpy_on_arbitrary_spectrum(np_rng):
         (zr + 1j * zi).transpose(0, 3, 1, 2), s=(h, w), norm="ortho"
     ).transpose(0, 2, 3, 1)
     np.testing.assert_allclose(np.asarray(got), ref, atol=5e-5)
+
+
+def test_dft_matmul_grads_match_fft_path(np_rng):
+    """The combined-factor einsums are the TRAINING spectral path on TPU:
+    their VJP must match differentiating the jnp.fft implementation (the
+    CPU/GPU path golden tests run against)."""
+    h, w, c = 16, 16, 2
+    x = jnp.asarray(np_rng.standard_normal((2, h, w, c)).astype(np.float32))
+    cot = jnp.asarray(np_rng.standard_normal((2, h, w, c)).astype(np.float32))
+    mix = jnp.asarray(
+        np_rng.standard_normal((2 * c, 2 * c)).astype(np.float32))
+
+    def via_matmul(inp):
+        zr, zi = rfft2_matmul(inp)
+        spec = jnp.concatenate([zr, zi], axis=-1) @ mix
+        spec = jax.nn.relu(spec)
+        re, im = jnp.split(spec, 2, axis=-1)
+        return jnp.sum(irfft2_matmul(re, im, (h, w)) * cot)
+
+    def via_fft(inp):
+        z = jnp.fft.rfft2(inp, axes=(1, 2), norm="ortho")
+        spec = jnp.concatenate([z.real, z.imag], axis=-1) @ mix
+        spec = jax.nn.relu(spec)
+        re, im = jnp.split(spec, 2, axis=-1)
+        out = jnp.fft.irfft2(
+            jax.lax.complex(re, im), s=(h, w), axes=(1, 2), norm="ortho")
+        return jnp.sum(out * cot)
+
+    g1 = jax.grad(via_matmul)(x)
+    g2 = jax.grad(via_fft)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=3e-5)
