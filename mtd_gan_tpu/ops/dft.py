@@ -117,6 +117,56 @@ def _w_combined_inv(w: int) -> np.ndarray:
     return np.stack([a, b])
 
 
+def _hilo(f: np.ndarray):
+    """hi/lo bf16 split of a constant factor table (hi + lo == f to ~1e-7
+    relative — the same factor-precision scheme the Pallas inference
+    pipeline validates at 3e-5 end-to-end, ops/pallas_pipeline.py)."""
+    import ml_dtypes
+
+    hi = f.astype(ml_dtypes.bfloat16)
+    lo = (f - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
+@lru_cache(maxsize=16)
+def _h_fwd_hilo(h: int):
+    return _hilo(_h_combined_fwd(h))
+
+
+@lru_cache(maxsize=16)
+def _h_inv_hilo(h: int):
+    return _hilo(_h_combined_inv(h))
+
+
+@lru_cache(maxsize=16)
+def _w_fwd_hilo(w: int):
+    return _hilo(_w_combined_fwd(w))
+
+
+@lru_cache(maxsize=16)
+def _w_inv_hilo(w: int):
+    return _hilo(_w_combined_inv(w))
+
+
+def _dot2(eq: str, a: Array, hi, lo) -> Array:
+    """2-pass bf16 einsum: bf16 activations x hi/lo-split f32 factor.
+
+    vs 'tensorfloat32' (3 bf16 passes on f32 operands): one fewer MXU
+    pass and half the operand traffic, at the cost of bf16-rounding the
+    activation — the bf16-training tradeoff already accepted by the
+    model's compute dtype."""
+    a16 = a.astype(jnp.bfloat16)
+    hi, lo = jnp.asarray(hi), jnp.asarray(lo)
+    if jax.default_backend() != "tpu":
+        # CPU/GPU: bf16 x bf16 dots are unsupported by the unoptimized CPU
+        # thunks; upcasting the ALREADY-ROUNDED operands keeps the numerics
+        # of the TPU bf16 dot (which accumulates in f32 anyway)
+        a16, hi, lo = (t.astype(jnp.float32) for t in (a16, hi, lo))
+    return jnp.einsum(eq, a16, hi,
+                      preferred_element_type=jnp.float32) + jnp.einsum(
+        eq, a16, lo, preferred_element_type=jnp.float32)
+
+
 def rfft2_matmul(x: Array) -> Tuple[Array, Array]:
     """NHWC real input -> (real, imag) half-spectra, shape (N, H, K, C),
     equal to jnp.fft.rfft2(x, axes=(1, 2), norm='ortho').
@@ -192,3 +242,23 @@ def irfft2_matmul(z_re: Array, z_im: Array, s: Tuple[int, int]) -> Array:
     # inverse W-axis with Hermitian fold, parts contracted together
     fw = jnp.asarray(_w_combined_inv(w))
     return jnp.einsum("ntmkc,tkw->nmwc", t, fw)
+
+
+def rfft2_matmul_bf16x2(x: Array) -> Tuple[Array, Array]:
+    """bf16-compute variant of :func:`rfft2_matmul` (2-pass hi/lo factor
+    dots, bf16 stage boundary between the W and H transforms). For the
+    bf16 training mode — ~1.5x fewer MXU passes than the tf32 path."""
+    n, h, w, c = x.shape
+    k = w // 2 + 1
+    z = _dot2("nhwc,wk->nhkc", x, *_w_fwd_hilo(w)).reshape(n, h, 2, k, c)
+    out = _dot2("nhskc,tsmh->ntmkc", z, *_h_fwd_hilo(h))
+    return out[:, 0], out[:, 1]
+
+
+def irfft2_matmul_bf16x2(z_re: Array, z_im: Array,
+                         s: Tuple[int, int]) -> Array:
+    """bf16-compute variant of :func:`irfft2_matmul`."""
+    h, w = s
+    zs = jnp.stack([z_re, z_im], axis=2)  # (N, H, 2, K, C)
+    t = _dot2("nhskc,tsmh->ntmkc", zs, *_h_inv_hilo(h))
+    return _dot2("ntmkc,tkw->nmwc", t, *_w_inv_hilo(w))

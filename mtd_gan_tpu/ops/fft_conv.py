@@ -82,6 +82,25 @@ def fft_conv_block(
     # --- spectral branch (fp32 values; transform backend-dependent) ---
     x32 = x.astype(jnp.float32)
     if _use_dft_matmul():
+        if orig_dtype == jnp.bfloat16:
+            # bf16 compute mode: 2-pass hi/lo factor dots + bf16 stage
+            # boundaries (the precision scheme the Pallas inference
+            # pipeline validates end-to-end at 3e-5) — 1/3 fewer MXU
+            # passes and half the traffic vs the tf32 path below. The
+            # traced mix weight is cast bf16 like every other layer's
+            # kernel under the model's compute dtype (ops/layers.py).
+            zr, zi = dft.rfft2_matmul_bf16x2(x)
+            spec = jnp.concatenate([zr, zi], axis=-1)
+            spec = jnp.einsum(
+                "...k,kd->...d", spec.astype(jnp.bfloat16),
+                fft_kernel.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) + fft_bias.astype(jnp.float32)
+            spec = jax.nn.relu(spec)
+            re, im = jnp.split(spec, 2, axis=-1)
+            fft_out = dft.irfft2_matmul_bf16x2(re, im, (h, w)).astype(
+                orig_dtype)
+            return _finish_block(x, fft_out, img_kernel, img_bias, orig_dtype)
         with jax.default_matmul_precision(DFT_MATMUL_PRECISION):
             zr, zi = dft.rfft2_matmul(x32)
             spec = jnp.concatenate([zr, zi], axis=-1)  # (N, H, W//2+1, 2C)

@@ -68,3 +68,28 @@ def test_dft_matmul_grads_match_fft_path(np_rng):
     g1 = jax.grad(via_matmul)(x)
     g2 = jax.grad(via_fft)(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=3e-5)
+
+
+def test_bf16x2_transforms_track_fp32(np_rng):
+    """The bf16-training spectral path (2-pass hi/lo dots, bf16 stage
+    boundaries) must track the fp32 transforms to bf16-rounding accuracy
+    and stay differentiable."""
+    from mtd_gan_tpu.ops.dft import irfft2_matmul_bf16x2, rfft2_matmul_bf16x2
+
+    h = w = 64
+    x = jnp.asarray(np_rng.standard_normal((2, h, w, 4)).astype(np.float32))
+    zr, zi = rfft2_matmul(x)
+    zr2, zi2 = rfft2_matmul_bf16x2(x)
+    np.testing.assert_allclose(np.asarray(zr2), np.asarray(zr), atol=3e-2)
+    np.testing.assert_allclose(np.asarray(zi2), np.asarray(zi), atol=3e-2)
+
+    rt = irfft2_matmul_bf16x2(zr, zi, (h, w))
+    np.testing.assert_allclose(np.asarray(rt), np.asarray(x), atol=5e-2)
+
+    def loss(inp):
+        a, b = rfft2_matmul_bf16x2(inp)
+        return jnp.sum(irfft2_matmul_bf16x2(a, b, (h, w)) ** 2)
+
+    g = jax.grad(loss)(x)
+    # d/dx sum(roundtrip(x)^2) ~= 2x (transforms are near-orthonormal)
+    np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(x), atol=0.1)
