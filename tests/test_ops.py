@@ -151,3 +151,26 @@ def test_spectral_norm_eval_mode_freezes_u(np_rng):
     np.testing.assert_array_equal(
         np.asarray(variables["spectral"]["u"]),
         np.asarray(mutated["spectral"]["u"]))
+
+
+def test_fft_conv_block_bf16_tpu_branch(np_rng, monkeypatch):
+    """Exercise the TPU bf16x2 spectral branch on CPU (the _dot2 fallback
+    keeps the rounding semantics): bf16-input block output must track the
+    fp32 jnp.fft path to bf16 accuracy."""
+    from mtd_gan_tpu.ops import fft_conv as fc
+
+    c, h, w = 4, 32, 32
+    x = np_rng.standard_normal((2, h, w, c)).astype(np.float32)
+    img_k = (np_rng.standard_normal((3, 3, c, c)) * 0.1).astype(np.float32)
+    img_b = np_rng.standard_normal((c,)).astype(np.float32)
+    fft_k = (np_rng.standard_normal((2 * c, 2 * c)) * 0.1).astype(np.float32)
+    fft_b = np_rng.standard_normal((2 * c,)).astype(np.float32)
+    args = [jnp.asarray(a) for a in (img_k, img_b, fft_k, fft_b)]
+
+    ref = fft_conv_block(jnp.asarray(x), *args)
+
+    monkeypatch.setattr(fc, "_use_dft_matmul", lambda: True)
+    got16 = fft_conv_block(jnp.asarray(x, jnp.bfloat16), *args)
+    assert got16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got16, np.float32), np.asarray(ref), rtol=1e-2, atol=5e-2)
