@@ -86,7 +86,10 @@ class MTDGANTrainer:
         # G-side no-remat fails to compile even at bf16.
         # g_remat="save_spectral" is the middle ground: remat the
         # generator but store each block's spectral output (skips the DFT
-        # recompute, ~74 ms/step at batch 160 bf16 — PERF.md).
+        # recompute, ~74 ms/step at batch 160 bf16 — PERF.md);
+        # "save_spectral_full" additionally stores the pre-mix spectrum +
+        # pre-ReLU mix output so the G backward does zero spectral forward
+        # recompute (~3x the saved bytes of "save_spectral").
         # d_microbatch is the memory valve if larger batches OOM the
         # no-remat D backward.
         if d_remat is None:
@@ -348,6 +351,17 @@ class MTDGANTrainer:
                         gen_fn,
                         policy=jax.checkpoint_policies.save_only_these_names(
                             "fft_out"),
+                    )
+                elif g_remat == "save_spectral_full":
+                    # also store the pre-mix spectrum and pre-ReLU mix
+                    # output: the backward then does ZERO spectral forward
+                    # recompute (DFT transposes need no residuals; the mix
+                    # weight grad reads spec_in, the ReLU mask spec_preact)
+                    # at ~3 saved tensors/block
+                    gen_fn = jax.checkpoint(
+                        gen_fn,
+                        policy=jax.checkpoint_policies.save_only_these_names(
+                            "fft_out", "spec_in", "spec_preact"),
                     )
                 elif g_remat:
                     gen_fn = jax.checkpoint(gen_fn)

@@ -91,12 +91,18 @@ def fft_conv_block(
             # kernel under the model's compute dtype (ops/layers.py).
             zr, zi = dft.rfft2_matmul_bf16x2(x)
             spec = jnp.concatenate([zr, zi], axis=-1)
+            # named for the save_spectral_full remat policy: with spec_in
+            # and spec_preact saved the backward needs NO spectral forward
+            # recompute (DFTs are linear — their transposes need no
+            # residuals; the mix-weight grad needs spec_in, the ReLU mask
+            # needs spec_preact)
+            spec = checkpoint_name(spec.astype(jnp.bfloat16), "spec_in")
             spec = jnp.einsum(
-                "...k,kd->...d", spec.astype(jnp.bfloat16),
+                "...k,kd->...d", spec,
                 fft_kernel.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             ) + fft_bias.astype(jnp.float32)
-            spec = jax.nn.relu(spec)
+            spec = jax.nn.relu(checkpoint_name(spec, "spec_preact"))
             re, im = jnp.split(spec, 2, axis=-1)
             fft_out = dft.irfft2_matmul_bf16x2(re, im, (h, w)).astype(
                 orig_dtype)
@@ -104,18 +110,20 @@ def fft_conv_block(
         with jax.default_matmul_precision(DFT_MATMUL_PRECISION):
             zr, zi = dft.rfft2_matmul(x32)
             spec = jnp.concatenate([zr, zi], axis=-1)  # (N, H, W//2+1, 2C)
+            spec = checkpoint_name(spec, "spec_in")
             spec = spec @ fft_kernel.astype(jnp.float32) + fft_bias.astype(
                 jnp.float32
             )
-            spec = jax.nn.relu(spec)
+            spec = jax.nn.relu(checkpoint_name(spec, "spec_preact"))
             re, im = jnp.split(spec, 2, axis=-1)
             fft_out = dft.irfft2_matmul(re, im, (h, w)).astype(orig_dtype)
         return _finish_block(x, fft_out, img_kernel, img_bias, orig_dtype)
 
     xf = jnp.fft.rfft2(x32, s=(h, w), axes=(1, 2), norm="ortho")
     spec = jnp.concatenate([xf.real, xf.imag], axis=-1)  # (N, H, W//2+1, 2C)
+    spec = checkpoint_name(spec, "spec_in")
     spec = spec @ fft_kernel.astype(jnp.float32) + fft_bias.astype(jnp.float32)
-    spec = jax.nn.relu(spec)
+    spec = jax.nn.relu(checkpoint_name(spec, "spec_preact"))
     re, im = jnp.split(spec, 2, axis=-1)
     fft_out = jnp.fft.irfft2(
         jax.lax.complex(re, im), s=(h, w), axes=(1, 2), norm="ortho"

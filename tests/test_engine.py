@@ -196,3 +196,26 @@ def test_hoisted_step_matches_two_forward(rng):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-6),
         sh.params_d, sc.params_d)
+
+
+def test_save_spectral_full_matches_default_remat(rng):
+    """g_remat='save_spectral_full' (zero spectral forward recompute in
+    the G backward) is a pure memory/speed policy — the trajectory must be
+    identical to the default full-remat step."""
+    kw = dict(gen_features=4, disc_features=4, num_layers=1)
+    ta = MTDGANTrainer(MTDGANModel(**kw), method="pcgrad", lr=1e-4,
+                       g_remat="save_spectral_full")
+    tb = MTDGANTrainer(MTDGANModel(**kw), method="pcgrad", lr=1e-4)
+    sa = ta.create_state(rng)
+    sb = tb.create_state(rng)
+    x, y = _toy_batch(rng, n=2)
+    for _ in range(2):
+        sa, ma = ta.train_step(sa, x, y)
+        sb, mb = tb.train_step(sb, x, y)
+    for k in ("d_loss", "g_loss"):
+        np.testing.assert_allclose(
+            float(ma[k]), float(mb[k]), rtol=1e-5, err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6),
+        sa.params_g, sb.params_g)
