@@ -341,30 +341,16 @@ class MTDGANTrainer:
                 # (stop-grad), the G update consumes its vjp. Identical to
                 # computing it in both losses — params_g only updates after
                 # both (reference engine.py:26-76)
-                gen_fn = lambda pg: model.Generator.apply({"params": pg}, x)
-                if g_remat == "save_spectral":
-                    # middle ground: store each block's spectral output
-                    # (ops/fft_conv.py checkpoint_name) so the backward
-                    # skips recomputing the DFT matmuls but activation
-                    # memory stays bounded (~1 tensor/block, not ~10)
-                    gen_fn = jax.checkpoint(
-                        gen_fn,
-                        policy=jax.checkpoint_policies.save_only_these_names(
-                            "fft_out"),
-                    )
-                elif g_remat == "save_spectral_full":
-                    # also store the pre-mix spectrum and pre-ReLU mix
-                    # output: the backward then does ZERO spectral forward
-                    # recompute (DFT transposes need no residuals; the mix
-                    # weight grad reads spec_in, the ReLU mask spec_preact)
-                    # at ~3 saved tensors/block
-                    gen_fn = jax.checkpoint(
-                        gen_fn,
-                        policy=jax.checkpoint_policies.save_only_these_names(
-                            "fft_out", "spec_in", "spec_preact"),
-                    )
-                elif g_remat:
-                    gen_fn = jax.checkpoint(gen_fn)
+                # remat policy: "save_spectral" keeps each block's spectral
+                # output (skips the DFT-matmul recompute); "save_spectral
+                # _full" also keeps spec_in/spec_preact so the G backward
+                # does ZERO spectral forward recompute (~3 tensors/block)
+                from mtd_gan_tpu.ops.fft_conv import generator_checkpoint
+
+                gen_fn = generator_checkpoint(
+                    lambda pg: model.Generator.apply({"params": pg}, x),
+                    g_remat,
+                )
                 fake_raw, g_pull = jax.vjp(gen_fn, state.params_g)
                 state, d_losses, d_details = d_update(
                     state, rng_d, rng_mto, x, y,

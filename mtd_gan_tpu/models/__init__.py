@@ -33,14 +33,19 @@ def resolve_alias(name: str) -> str:
     return ALIASES.get(name, name)
 
 
-def get_model(name: str, **kwargs):
-    """Build a model by reference-compatible name."""
+def get_model_class(name: str):
+    """The registered model class for a reference-compatible name (for
+    constructor signature inspection, e.g. the --bf16 dtype probe)."""
     name = resolve_alias(name)
     _ensure_registered()
     if name not in _REGISTRY:
         raise KeyError(f"unknown model {name!r}; known: {sorted(_REGISTRY)}")
-    model = _REGISTRY[name](**kwargs)
-    return model
+    return _REGISTRY[name]
+
+
+def get_model(name: str, **kwargs):
+    """Build a model by reference-compatible name."""
+    return get_model_class(name)(**kwargs)
 
 
 def param_count(params) -> int:

@@ -396,14 +396,18 @@ class MTDGANModel:
         if remat is None:
             remat = self.remat
         if train:
-            gen_fn = lambda pg, z: self.Generator.apply({"params": pg}, z)
-            if remat:
-                gen_fn = jax.checkpoint(gen_fn)
+            from mtd_gan_tpu.ops.fft_conv import generator_checkpoint
+
+            gen_fn = generator_checkpoint(
+                lambda pg, z: self.Generator.apply({"params": pg}, z), remat)
         else:
             gen_fn = self.generate
         fake = gen_fn(params_g, x)
+        # string policies are generator-only — the D application inside
+        # g_loss_terms only understands boolean remat
+        d_remat = remat if isinstance(remat, bool) else None
         return self.g_loss_terms(fake, params_d, state_d, rng, x, y,
-                                 train=train, remat=remat)
+                                 train=train, remat=d_remat)
 
     def g_loss_terms(self, fake, params_d, state_d, rng, x, y, train=True,
                      remat=None):

@@ -36,6 +36,26 @@ def _use_dft_matmul() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def generator_checkpoint(fn, mode):
+    """jax.checkpoint wrapper understanding the generator remat modes:
+    True (full remat), 'save_spectral' (keep each block's spectral output),
+    'save_spectral_full' (also keep the pre-mix spectrum + pre-ReLU mix
+    output: zero spectral forward recompute in the backward). Falsy modes
+    return fn unchanged. Shared by the trainer's hoisted step and
+    MTDGANModel.g_loss so both paths honor the same policy strings."""
+    if not mode:
+        return fn
+    if mode == "save_spectral":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.save_only_these_names(
+                "fft_out"))
+    if mode == "save_spectral_full":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.save_only_these_names(
+                "fft_out", "spec_in", "spec_preact"))
+    return jax.checkpoint(fn)
+
+
 def fft_conv_block(
     x: Array,
     img_kernel: Array,
@@ -80,7 +100,6 @@ def fft_conv_block(
         )
 
     # --- spectral branch (fp32 values; transform backend-dependent) ---
-    x32 = x.astype(jnp.float32)
     if _use_dft_matmul():
         if orig_dtype == jnp.bfloat16:
             # bf16 compute mode: 2-pass hi/lo factor dots + bf16 stage
@@ -108,7 +127,7 @@ def fft_conv_block(
                 orig_dtype)
             return _finish_block(x, fft_out, img_kernel, img_bias, orig_dtype)
         with jax.default_matmul_precision(DFT_MATMUL_PRECISION):
-            zr, zi = dft.rfft2_matmul(x32)
+            zr, zi = dft.rfft2_matmul(x.astype(jnp.float32))
             spec = jnp.concatenate([zr, zi], axis=-1)  # (N, H, W//2+1, 2C)
             spec = checkpoint_name(spec, "spec_in")
             spec = spec @ fft_kernel.astype(jnp.float32) + fft_bias.astype(
@@ -119,7 +138,8 @@ def fft_conv_block(
             fft_out = dft.irfft2_matmul(re, im, (h, w)).astype(orig_dtype)
         return _finish_block(x, fft_out, img_kernel, img_bias, orig_dtype)
 
-    xf = jnp.fft.rfft2(x32, s=(h, w), axes=(1, 2), norm="ortho")
+    xf = jnp.fft.rfft2(x.astype(jnp.float32), s=(h, w), axes=(1, 2),
+                       norm="ortho")
     spec = jnp.concatenate([xf.real, xf.imag], axis=-1)  # (N, H, W//2+1, 2C)
     spec = checkpoint_name(spec, "spec_in")
     spec = spec @ fft_kernel.astype(jnp.float32) + fft_bias.astype(jnp.float32)

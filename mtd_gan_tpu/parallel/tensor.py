@@ -152,4 +152,8 @@ def tp_generate(params, x: Array, mesh: Mesh, num_layers: int = 10,
         out_specs=xspec,
         check_rep=False,
     )
-    return fwd(params, x)
+    # same DFT-matmul precision as the single-device spectral path
+    # (fft_conv.py): without this the TP einsums lower to single-pass-bf16
+    # dots on TPU and diverge from the reference numerics
+    with jax.default_matmul_precision("tensorfloat32"):
+        return fwd(params, x)

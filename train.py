@@ -99,16 +99,18 @@ def main(args):
 
     model_kwargs = json.loads(args.model_kwargs or "{}")
     if args.bf16 and "dtype" not in model_kwargs:
-        try:
+        import inspect
+
+        from mtd_gan_tpu.models import get_model_class
+
+        ctor = inspect.signature(get_model_class(args.model)).parameters
+        if "dtype" in ctor:
             model_kwargs["dtype"] = jnp.bfloat16
-            model = get_model(args.model, **model_kwargs)
-        except TypeError:
-            # model ctor has no dtype arg — run it fp32 rather than crash
-            model_kwargs.pop("dtype")
+        else:
+            # run fp32 rather than crash — but do not swallow real ctor
+            # errors by misattributing them to a missing dtype arg
             print(f"note: {args.model} does not support --bf16; using fp32")
-            model = get_model(args.model, **model_kwargs)
-    else:
-        model = get_model(args.model, **model_kwargs)
+    model = get_model(args.model, **model_kwargs)
     family = family_of(args.model)
 
     mesh = make_mesh() if args.multi_gpu_mode == "DataParallel" else None
