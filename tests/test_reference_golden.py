@@ -310,3 +310,27 @@ def test_redcnn_reference_parity(ref, rng):
     model_j = REDCNNModel(out_ch=32)
     got = model_j.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_resfft_generator_dft_matmul_path_reference_parity(
+        ref, rng, monkeypatch):
+    """The TPU TRAINING spectral path (combined-factor DFT einsums,
+    ops/dft.py — what actually runs under jit on the chip) against the
+    actual reference generator, forced on CPU where the tf32 hint
+    resolves to exact fp32 matmuls."""
+    from mtd_gan_tpu.models.mtd_gan import ResFFTGenerator
+    from mtd_gan_tpu.ops import fft_conv as fc
+
+    torch.manual_seed(0)
+    gen_t = ref.networks.ResFFT_Generator(
+        in_channels=1, out_channels=32, num_layers=10, kernel_size=3, padding=1
+    ).eval()
+    x = jax.random.uniform(rng, (1, 64, 64, 1), jnp.float32)
+    with torch.no_grad():
+        want = _nhwc(gen_t(_nchw(x).float()))
+
+    monkeypatch.setattr(fc, "_use_dft_matmul", lambda: True)
+    params = _gen_params_from_torch(gen_t.state_dict())
+    gen_j = ResFFTGenerator(features=32, num_layers=10)
+    got = jax.jit(gen_j.apply)({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
