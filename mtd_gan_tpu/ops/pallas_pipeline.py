@@ -171,6 +171,39 @@ def _w_tables_np(w: int, kp: int, tc: int,
     return pk(fwd), pk(inv)
 
 
+@lru_cache(maxsize=16)
+def _w_tables_packed_np(pw: int, kp: int, tc: int,
+                        precision: str) -> Tuple[np.ndarray, ...]:
+    """Block-diagonal W-DFT factor packs for the PACKED patch layout: two
+    pw-wide patches side by side in one 2*pw lane row (the training-shape
+    64x64 patches become 128-lane-dense rows). Per-patch spectra stack
+    along the K axis — kp covers BOTH patches (2 * padded per-patch K) —
+    so every other stage (H DFTs, mix, stage C) is unchanged.
+
+    Layout mirrors :func:`_w_tables_np`: fwd (2*pw, 2*kp) = [re | im]
+    columns, inv (2*kp, 2*pw) with the stage-B chunk interleave.
+    """
+    k = pw // 2 + 1
+    kph = kp // 2
+    wr, wi = _rdft_w_factors(pw)
+    fwd = np.zeros((2 * pw, 2 * kp), np.float32)
+    fwd[:pw, 0:k] = wr
+    fwd[:pw, kp:kp + k] = wi
+    fwd[pw:, kph:kph + k] = wr
+    fwd[pw:, kp + kph:kp + kph + k] = wi
+    ga, gb = _irdft_w_factors(pw)
+    ga_p = np.zeros((kp, 2 * pw), np.float32)
+    gb_p = np.zeros((kp, 2 * pw), np.float32)
+    ga_p[0:k, :pw], gb_p[0:k, :pw] = ga, gb
+    ga_p[kph:kph + k, pw:], gb_p[kph:kph + k, pw:] = ga, gb
+    inv = np.zeros((2 * kp, 2 * pw), np.float32)
+    for j in range(kp // tc):
+        inv[2 * tc * j:2 * tc * j + tc] = ga_p[tc * j:tc * (j + 1)]
+        inv[2 * tc * j + tc:2 * tc * (j + 1)] = gb_p[tc * j:tc * (j + 1)]
+    pk = partial(_pack_np, precision=precision)
+    return pk(fwd), pk(inv)
+
+
 @lru_cache(maxsize=8)
 def _h_ct_tables_np(h: int, precision: str) -> Tuple[np.ndarray, ...]:
     """Radix-4 Cooley-Tukey tables for the H-axis ortho DFT, h = 4*m.
@@ -221,19 +254,21 @@ def _vmem(mb: int, interpret: bool):
 @partial(
     jax.jit,
     static_argnames=("h", "w", "th", "relu", "residual", "has_skip",
-                     "out_dtype_name", "interpret"),
+                     "out_dtype_name", "interpret", "pw"),
 )
 def _conv3x3_call(
     x: Array, kmat_pack: Array, bias: Array, skip: Optional[Array],
     h: int, w: int, th: int, relu: bool, residual: bool, has_skip: bool,
-    out_dtype_name: str, interpret: bool,
+    out_dtype_name: str, interpret: bool, pw: int,
 ) -> Array:
     """x: (N, C_in, H*W); kmat_pack: (p, C_out, 9*C_in); bias: (C_out, 1).
 
     out = [x +] [relu](kmat @ im2col(x) + bias [+ skip]) as (N, C_out, H*W).
     Matches lax.conv_general_dilated(NHWC, HWIO, padding=1) semantics;
     for deconvs the caller passes a spatially flipped kernel (the stride-1
-    ConvTranspose adjoint, ops/layers.py ConvTranspose).
+    ConvTranspose adjoint, ops/layers.py ConvTranspose). pw < w treats each
+    row as w/pw independent pw-wide patches (packed layout): the W-shift
+    zero masks repeat at every patch seam.
     """
     n, c_in, hw = x.shape
     c_out = kmat_pack.shape[1]
@@ -290,13 +325,13 @@ def _conv3x3_call(
         # dynamic_rotate only handles 32-bit data — roll through f32
         # (lossless round trip for bf16).
         ew = (th + 2) * w
-        col = jax.lax.broadcasted_iota(jnp.int32, (c_in, ew), 1) % w
+        col = jax.lax.broadcasted_iota(jnp.int32, (c_in, ew), 1) % pw
         e32 = ext[:].astype(_F32)
-        # sample x[w+1]: left-roll, kill col w-1
-        ext_p = jnp.where(col == w - 1, 0.0,
+        # sample x[w+1]: left-roll, kill each patch's last column
+        ext_p = jnp.where(col == pw - 1, 0.0,
                           pltpu.roll(e32, shift=ew - 1, axis=1)
                           ).astype(ext.dtype)
-        # sample x[w-1]: right-roll, kill col 0
+        # sample x[w-1]: right-roll, kill each patch's first column
         ext_m = jnp.where(col == 0, 0.0,
                           pltpu.roll(e32, shift=1, axis=1)).astype(ext.dtype)
         slabs = []
@@ -345,11 +380,11 @@ def _conv3x3_call(
 
 
 def conv3x3(x, kmat_pack, bias, h, w, *, skip=None, relu=True, residual=False,
-            th=64, out_dtype=None, interpret=False):
+            th=64, out_dtype=None, interpret=False, pw=None):
     out_dtype = jnp.dtype(out_dtype or x.dtype)
     return _conv3x3_call(
         x, kmat_pack, bias, skip, h, w, min(th, h), relu, residual,
-        skip is not None, out_dtype.name, interpret,
+        skip is not None, out_dtype.name, interpret, pw or w,
     )
 
 
@@ -595,11 +630,11 @@ def _stage_c_call(t, inv_p, res, h, w, precision, out_dtype_name, interpret):
 
 @partial(jax.jit, static_argnames=("h", "w", "kp", "tc", "precision",
                                    "use_ct", "has_pre", "has_skip",
-                                   "has_post", "interpret"))
+                                   "has_post", "interpret", "pw"))
 def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
                       inv_p, pre_km, pre_kb, skip, post_km, post_kb, img,
                       h, w, kp, tc, precision, use_ct, has_pre, has_skip,
-                      has_post, interpret):
+                      has_post, interpret, pw):
     """One whole Res-FFT-Conv block — optionally including the LAYER conv
     that feeds it — as a SINGLE kernel per sample:
       h   = relu(pre_conv3x3(x) + pre_b [+ skip])      (when has_pre; the
@@ -628,10 +663,11 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
     conv_dots_l = _make_dots_left("bf16" if km_pack.shape[0] == 1 else "bf16x2")
 
     def _masked_rolls(buf, ew):
-        """(left-shifted, right-shifted) copies with conv zero-pad columns."""
-        col = jax.lax.broadcasted_iota(jnp.int32, (buf.shape[0], ew), 1) % w
+        """(left-shifted, right-shifted) copies with conv zero-pad columns
+        (repeating at every pw-wide patch seam in the packed layout)."""
+        col = jax.lax.broadcasted_iota(jnp.int32, (buf.shape[0], ew), 1) % pw
         b32 = buf.astype(_F32)
-        plus = jnp.where(col == w - 1, 0.0,
+        plus = jnp.where(col == pw - 1, 0.0,
                          pltpu.roll(b32, shift=ew - 1, axis=1)
                          ).astype(buf.dtype)
         minus = jnp.where(col == 0, 0.0,
@@ -947,11 +983,18 @@ def _pick_tc(kp: int) -> int:
     return 96 if kp % 96 == 0 else kp
 
 
-def _spectral_tables(h, w, precision):
-    kp = _pad_k(w // 2 + 1)
-    tc = _pick_tc(kp)
-    fwd_p, inv_p = (jnp.asarray(t)
-                    for t in _w_tables_np(w, kp, tc, precision))
+def _spectral_tables(h, w, precision, pw=None):
+    if pw and pw != w:
+        assert w == 2 * pw, (w, pw)  # packed pairs
+        kp = 2 * _pad_k(pw // 2 + 1)
+        tc = _pick_tc(kp)
+        fwd_p, inv_p = (jnp.asarray(t)
+                        for t in _w_tables_packed_np(pw, kp, tc, precision))
+    else:
+        kp = _pad_k(w // 2 + 1)
+        tc = _pick_tc(kp)
+        fwd_p, inv_p = (jnp.asarray(t)
+                        for t in _w_tables_np(w, kp, tc, precision))
     use_ct = h % 4 == 0 and (h // 4) % 8 == 0
     if use_ct:
         f_cs, twc, tws = _h_ct_tables_np(h, precision)
@@ -966,7 +1009,7 @@ def fft_block_nchw(x, img_kmat_pack, img_bias, mix_pack, bias_col,
                    h, w, precision="bf16x2", bound_dtype=jnp.bfloat16,
                    fused=True, pre_kmat_pack=None, pre_bias=None, skip=None,
                    post_kmat_pack=None, post_bias=None, post_img=None,
-                   interpret=False):
+                   interpret=False, pw=None):
     """One Res-FFT-Conv block (reference arch/Ours/networks.py:15-36) on an
     (N, C, H*W) channel-major activation:
     out = x + relu(conv3x3(x)+b) + irfft2(relu(mix([Re;Im] rfft2(x)))).
@@ -978,7 +1021,7 @@ def fft_block_nchw(x, img_kmat_pack, img_bias, mix_pack, bias_col,
     feeding the block: x <- relu(pre_conv(x) + pre_b [+ skip]).
     """
     (kp, tc, use_ct, fwd_p, inv_p, f_cs, twc, tws) = (
-        _spectral_tables(h, w, precision))
+        _spectral_tables(h, w, precision, pw=pw))
     if fused:
         return _block_fused_call(
             x, img_kmat_pack, img_bias, fwd_p, mix_pack, bias_col,
@@ -986,11 +1029,11 @@ def fft_block_nchw(x, img_kmat_pack, img_bias, mix_pack, bias_col,
             post_kmat_pack, post_bias, post_img,
             h, w, kp, tc, precision, use_ct,
             pre_kmat_pack is not None, skip is not None,
-            post_kmat_pack is not None, interpret)
+            post_kmat_pack is not None, interpret, pw or w)
     assert pre_kmat_pack is None and skip is None, (
         "layer-conv fusion requires fused=True")
     res = conv3x3(x, img_kmat_pack, img_bias, h, w, relu=True, residual=True,
-                  interpret=interpret)
+                  interpret=interpret, pw=pw)
     z = _stage_a_call(x, fwd_p, h, w, kp, precision,
                       jnp.dtype(bound_dtype).name, interpret)
     t = _stage_b_call(z, mix_pack, bias_col, f_cs, twc, tws,
@@ -1041,13 +1084,19 @@ def resfft_generator_nchw(params, x, num_layers: int = 10,
                           precision: str = "bf16x2",
                           conv_precision: str = "bf16",
                           act_dtype=jnp.bfloat16,
-                          interpret: Optional[bool] = None):
+                          interpret: Optional[bool] = None,
+                          pack: int = 1):
     """Full ResFFT generator forward (reference arch/Ours/networks.py:95-164)
     through the channel-major Pallas pipeline.
 
     params: the flax ResFFTGenerator "params" tree (trained with the einsum
     path — identical parameter structure). x: (N, H, W, 1). Returns
     (N, H, W, 1) in x.dtype.
+
+    pack=2 lays out PAIRS of samples side by side along the lane (W) axis —
+    the training-patch geometry (64x64 -> 128-lane-dense rows): seam-masked
+    convs + block-diagonal W-DFT tables keep the samples independent while
+    every kernel runs full-width. Requires even N.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1063,22 +1112,31 @@ def resfft_generator_nchw(params, x, num_layers: int = 10,
         x.astype(act), pp["enc0_k"].astype(act), (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     h0 = jax.nn.relu(h0 + pp["enc0_b"].astype(act))
-    a = jnp.transpose(h0, (0, 3, 1, 2)).reshape(n, -1, h * w)
-    c = a.shape[1]
-
-    img32 = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, 1, h * w).astype(
-        jnp.float32)
+    if pack == 2:
+        assert n % 2 == 0, n
+        nn_, pw, w_eff = n // 2, w, 2 * w
+        c = h0.shape[-1]
+        a = h0.reshape(nn_, 2, h, w, c).transpose(0, 4, 2, 1, 3).reshape(
+            nn_, c, h * w_eff)
+        img32 = x.reshape(nn_, 2, h, w, 1).transpose(0, 4, 2, 1, 3).reshape(
+            nn_, 1, h * w_eff).astype(jnp.float32)
+    else:
+        nn_, pw, w_eff = n, None, w
+        a = jnp.transpose(h0, (0, 3, 1, 2)).reshape(n, -1, h * w)
+        c = a.shape[1]
+        img32 = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, 1, h * w).astype(
+            jnp.float32)
 
     def blk(a_, i, pre=None, skip=None, post=None):
         km, kb, mixp, mb = pp["blocks"][i]
         pkm, pkb = pre if pre is not None else (None, None)
         qkm, qkb = post if post is not None else (None, None)
-        return fft_block_nchw(a_, km, kb, mixp, mb, h, w,
+        return fft_block_nchw(a_, km, kb, mixp, mb, h, w_eff,
                               precision=precision,
                               pre_kmat_pack=pkm, pre_bias=pkb, skip=skip,
                               post_kmat_pack=qkm, post_bias=qkb,
                               post_img=img32 if post is not None else None,
-                              interpret=interpret)
+                              interpret=interpret, pw=pw)
 
     # every layer conv (enc_i/dec_i, reference networks.py:95-164) fuses
     # into the block kernel that consumes its output: the whole generator
@@ -1096,5 +1154,8 @@ def resfft_generator_nchw(params, x, num_layers: int = 10,
     # last block carries the exit deconv + image residual as its phase D
     _, final = blk(a, 2 * L, pre=pp["dec"][0], skip=skips[0],
                    post=pp["dec0_post"])
+    if pack == 2:
+        return final.reshape(n // 2, 1, h, 2, w).transpose(
+            0, 3, 2, 4, 1).reshape(n, h, w, 1).astype(x.dtype)
     return jnp.transpose(final.reshape(n, 1, h, w),
                          (0, 2, 3, 1)).astype(x.dtype)

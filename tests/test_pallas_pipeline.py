@@ -141,3 +141,35 @@ def test_spectral_block_precisions(precision, atol):
                             interpret=True)
     out = jnp.transpose(out.reshape(n, c, h, w), (0, 2, 3, 1))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=atol)
+
+
+def test_packed_conv3x3_seam_masks():
+    """pw=64 packed pairs: the conv must NOT bleed across the patch seam."""
+    rng = np.random.RandomState(3)
+    n, c, h, w = 4, 8, 32, 64
+    x = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+    ref = jax.nn.relu(jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b)
+    # pack pairs along W
+    xp = x.reshape(n // 2, 2, h, w, c).transpose(0, 4, 2, 1, 3).reshape(
+        n // 2, c, h * 2 * w)
+    km = pp._pack_traced(pp.conv_kmat(k), "bf16x2")
+    out = pp.conv3x3(xp, km, b[:, None], h, 2 * w, relu=True,
+                     interpret=True, pw=w)
+    out = out.reshape(n // 2, c, h, 2, w).transpose(0, 3, 2, 4, 1).reshape(
+        n, h, w, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_packed_full_generator_parity():
+    """pack=2 (the 64x64 training-patch geometry: 128-lane-dense rows,
+    seam-masked convs, block-diagonal W-DFT tables) must reproduce the
+    einsum generator sample-for-sample."""
+    gen, params, x = _gen_and_params(L=2, C=8, H=64, W=64, n=4)
+    ref = gen.apply({"params": params}, x)
+    out = pp.resfft_generator_nchw(params, x, num_layers=2, interpret=True,
+                                   pack=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
