@@ -89,7 +89,10 @@ class MTDGANTrainer:
         # recompute, ~74 ms/step at batch 160 bf16 — PERF.md);
         # "save_spectral_full" additionally stores the pre-mix spectrum +
         # pre-ReLU mix output so the G backward does zero spectral forward
-        # recompute (~3x the saved bytes of "save_spectral").
+        # recompute (~3x the saved bytes of "save_spectral");
+        # "save_all_named" also keeps every conv pre-activation — the
+        # backward recomputes nothing but elementwise relus (~4.4 GB bf16
+        # at batch 160, the fit-on-chip middle of fp32 no-remat).
         # d_microbatch is the memory valve if larger batches OOM the
         # no-remat D backward.
         if d_remat is None:

@@ -73,22 +73,33 @@ class ResFFTGenerator(nn.Module):
                                      spectral_impl=self.spectral_impl,
                                      name=f"fft_{i}")
 
+        # conv pre-activations are checkpoint-named: together with the
+        # spectral names in ops/fft_conv.py, the save_all_named remat
+        # policy gives a backward with ZERO forward recompute (relu
+        # outputs rebuild elementwise from the saved preacts)
+        from jax.ad_checkpoint import checkpoint_name as _ckpt
+
         skips = []
         h = x
         for i in range(self.num_layers):
-            h = nn.relu(conv(f"enc_{i}")(h))
+            h = nn.relu(_ckpt(conv(f"enc_{i}")(h), "conv_preact"))
             h = fft(i)(h)
             skips.append(h)
 
-        h = nn.relu(conv(f"enc_{self.num_layers}")(h))
+        h = nn.relu(_ckpt(conv(f"enc_{self.num_layers}")(h), "conv_preact"))
         h = fft(self.num_layers)(h)
 
-        h = nn.relu(deconv(self.features, f"dec_{self.num_layers}")(h) + skips[-1])
+        h = nn.relu(_ckpt(
+            deconv(self.features, f"dec_{self.num_layers}")(h) + skips[-1],
+            "conv_preact"))
         for i in range(self.num_layers - 1, 0, -1):
             h = fft(2 * self.num_layers - i)(h)
-            h = nn.relu(deconv(self.features, f"dec_{i}")(h) + skips[i - 1])
+            h = nn.relu(_ckpt(
+                deconv(self.features, f"dec_{i}")(h) + skips[i - 1],
+                "conv_preact"))
         h = fft(2 * self.num_layers)(h)
-        return nn.relu(deconv(self.in_channels, "dec_0")(h) + x)
+        return nn.relu(_ckpt(deconv(self.in_channels, "dec_0")(h) + x,
+                             "conv_preact"))
 
 
 class MultiTaskDiscriminator(nn.Module):

@@ -53,6 +53,15 @@ def generator_checkpoint(fn, mode):
         return jax.checkpoint(
             fn, policy=jax.checkpoint_policies.save_only_these_names(
                 "fft_out", "spec_in", "spec_preact"))
+    if mode == "save_all_named":
+        # + every conv pre-activation: the backward recomputes NOTHING but
+        # elementwise relus (~4.4 GB of bf16 residuals at batch 160 —
+        # the smart middle between full remat and the fp32 no-remat that
+        # does not fit the chip)
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.save_only_these_names(
+                "fft_out", "spec_in", "spec_preact", "conv_preact",
+                "img_preact"))
     return jax.checkpoint(fn)
 
 
@@ -166,7 +175,8 @@ def _finish_block(x: Array, fft_out: Array, img_kernel: Array,
         padding=[(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    img = jax.nn.relu(img + img_bias.astype(orig_dtype))
+    img = jax.nn.relu(
+        checkpoint_name(img + img_bias.astype(orig_dtype), "img_preact"))
     return x + img + fft_out
 
 

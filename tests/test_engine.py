@@ -198,13 +198,14 @@ def test_hoisted_step_matches_two_forward(rng):
         sh.params_d, sc.params_d)
 
 
-def test_save_spectral_full_matches_default_remat(rng):
-    """g_remat='save_spectral_full' (zero spectral forward recompute in
-    the G backward) is a pure memory/speed policy — the trajectory must be
-    identical to the default full-remat step."""
+@pytest.mark.parametrize("policy", ["save_spectral_full", "save_all_named"])
+def test_named_remat_policies_match_default_remat(rng, policy):
+    """The named-saving remat policies (zero spectral / zero total forward
+    recompute in the G backward) are pure memory/speed policies — the
+    trajectory must be identical to the default full-remat step."""
     kw = dict(gen_features=4, disc_features=4, num_layers=1)
     ta = MTDGANTrainer(MTDGANModel(**kw), method="pcgrad", lr=1e-4,
-                       g_remat="save_spectral_full")
+                       g_remat=policy)
     tb = MTDGANTrainer(MTDGANModel(**kw), method="pcgrad", lr=1e-4)
     sa = ta.create_state(rng)
     sb = tb.create_state(rng)

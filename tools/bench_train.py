@@ -134,10 +134,11 @@ def main():
            if args.quick else {})
     bench_g_forward(x, n_iters, mkw)
     bench_train_steps(x, y, [
-        ("bf16/pruned+save_spectral", jnp.bfloat16, "save_spectral"),
+        ("bf16/pruned+save_all_named", jnp.bfloat16, "save_all_named"),
         ("bf16/pruned+save_spectral_full", jnp.bfloat16, "save_spectral_full"),
+        ("bf16/pruned+save_spectral", jnp.bfloat16, "save_spectral"),
         ("bf16/pruned", jnp.bfloat16, None),
-        ("fp32/pruned+save_spectral_full", None, "save_spectral_full"),
+        ("fp32/pruned+save_all_named", None, "save_all_named"),
     ], n_iters, mkw)
     if not args.skip_wgan:
         wb = 8 if args.quick else 128
