@@ -319,12 +319,13 @@ class MTDGANTrainer:
             # POST-D-update value here, matching the reference order)
             def terms(f):
                 # remat here controls the D application inside g_loss;
-                # "save_spectral" is a generator-only policy, so anything
-                # non-bool falls back to the model default
+                # string policies are generator-only, so they fall back to
+                # the trainer's D-side remat decision (no-remat under bf16
+                # — same activation-footprint argument as d_update)
                 total, (new_sp, details) = model.g_loss_terms(
                     f, state.params_d, state.state_d, rng_g, x, y,
                     remat=(self.g_remat if isinstance(self.g_remat, bool)
-                           else None),
+                           else self.d_remat),
                 )
                 return total, (new_sp, details)
 
