@@ -171,10 +171,17 @@ class MTDGANTrainer:
         hoist = "fake" in d_sig and hasattr(model, "g_loss_terms")
         if self.hoist is not None:
             hoist = hoist and self.hoist
-        g_remat = (
-            self.g_remat if self.g_remat is not None
-            else getattr(model, "remat", True)
-        )
+        # auto G remat: under bf16 compute the "save_all_named" policy
+        # (zero forward recompute in the G backward, ~4.4 GB residuals at
+        # batch 160) measured 478.7 ms/step vs 559.9 for plain remat
+        # (tools/bench_train.py, PERF.md); fp32 save_all_named is rejected
+        # by the compile helper, so fp32 keeps the model's boolean default.
+        if self.g_remat is not None:
+            g_remat = self.g_remat
+        elif getattr(model, "dtype", None) == jnp.bfloat16:
+            g_remat = "save_all_named"
+        else:
+            g_remat = getattr(model, "remat", True)
 
         def d_update(state: GANTrainState, rng_d, rng_mto, x, y, fake=None):
             fake_kw = {"fake": fake} if fake is not None else {}
@@ -299,7 +306,7 @@ class MTDGANTrainer:
             def loss_fn(pg):
                 total, (new_sp, details) = model.g_loss(
                     pg, state.params_d, state.state_d, rng_g, x, y,
-                    remat=self.g_remat,
+                    remat=g_remat,
                 )
                 return total, (new_sp, details)
 
@@ -324,7 +331,7 @@ class MTDGANTrainer:
                 # — same activation-footprint argument as d_update)
                 total, (new_sp, details) = model.g_loss_terms(
                     f, state.params_d, state.state_d, rng_g, x, y,
-                    remat=(self.g_remat if isinstance(self.g_remat, bool)
+                    remat=(g_remat if isinstance(g_remat, bool)
                            else self.d_remat),
                 )
                 return total, (new_sp, details)
