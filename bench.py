@@ -20,6 +20,8 @@ vs_baseline = value / 1000 (>= 1.0 means the 5x target is met).
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -59,14 +61,26 @@ def main():
     # Bench the PRODUCTION inference path (model.generate routes to the
     # channel-major Pallas pipeline on TPU — VERDICT r2 item 9) and sweep
     # batch sizes, reporting the best configuration as the headline.
+    # Best-known batch first so a COLD-cache run (each 512x512 pipeline
+    # shape compiles ~3 min through the tunnel) reports a strong number
+    # even if the wall-clock budget cuts the sweep short.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    t_start = time.perf_counter()
     best = 0.0
-    for batch in (4, 8, 16, 32):
+    for batch in (32, 64, 16, 8, 4):
+        if best > 0.0 and time.perf_counter() - t_start > budget_s:
+            print(f"# budget exhausted, skipping batch {batch}",
+                  file=sys.stderr)
+            continue
         x = jax.random.uniform(rng, (batch, 512, 512, 1), jnp.float32)
         fwd = lambda inp: model.generate(params, inp)
         try:
             sps = _measure(fwd, x, batch)
-        except Exception:
-            break  # e.g. HBM limit at large batch — keep the best so far
+        except Exception as e:  # e.g. HBM limit at large batch
+            print(f"# batch {batch} failed: {type(e).__name__}",
+                  file=sys.stderr)
+            continue
+        print(f"# batch {batch}: {sps:.2f} slices/s", file=sys.stderr)
         best = max(best, sps)
     print(
         json.dumps(
