@@ -136,8 +136,19 @@ def _predictor_for(model, state, family: str, rng=None):
         return lambda z: model.generate(params_g, z)
     if family == "dn":
         params = state.params
-        r = rng if rng is not None else jax.random.PRNGKey(0)
-        return lambda z: model.sample(params, r, z)
+        base = rng if rng is not None else jax.random.PRNGKey(0)
+        # fresh noise trajectory per call: the reference draws a new
+        # torch.randn for every test slice (engine.py:860-866); reusing one
+        # key would sample every slice with the SAME noise and bias
+        # corpus-level FID
+        calls = [0]
+
+        def _sample(z):
+            r = jax.random.fold_in(base, calls[0])
+            calls[0] += 1
+            return model.sample(params, r, z)
+
+        return _sample
     raise KeyError(family)
 
 
@@ -196,6 +207,43 @@ def run_test(model, state, loader, eval_preprocess, family: str,
         )
     )
 
+    # Per-slice metric values stay ON DEVICE and are fetched in batched
+    # jax.device_get calls (every `sync_every` slices) — one float() per
+    # metric per slice (9-15 host syncs/slice, the reference's behavior,
+    # engine.py:139-148) serializes XLA's async dispatch and dominated the
+    # 211-slice sweep once the model itself got fast (VERDICT r3 weak #5).
+    pending = []  # [(row_skeleton, device_values_dict)]
+    sync_every = 16
+
+    def _flush():
+        if not pending:
+            return
+        fetched = jax.device_get([dev for _, dev in pending])
+        for (name, _), vals in zip(pending, fetched):
+            row = {}
+            m = [float(v) for v in vals["pix"]]
+            row.update({
+                "input_rmse": m[0], "gt_rmse": m[1], "pred_rmse": m[2],
+                "input_psnr": m[3], "gt_psnr": m[4], "pred_psnr": m[5],
+                "input_ssim": m[6], "gt_ssim": m[7], "pred_ssim": m[8],
+            })
+            if "pl" in vals:
+                pls, tmls = vals["pl"], vals["tml"]
+                row.update({
+                    "input_pl": float(pls[0]), "gt_pl": float(pls[1]),
+                    "pred_pl": float(pls[2]),
+                    "input_tml": float(tmls[0]), "gt_tml": float(tmls[1]),
+                    "pred_tml": float(tmls[2]),
+                })
+            if "feat" in vals:
+                fx, fy, fp = vals["feat"]
+                feats["input"].append(np.asarray(fx))
+                feats["gt"].append(np.asarray(fy))
+                feats["pred"].append(np.asarray(fp))
+            row["filename"] = name
+            rows.append(row)
+        pending.clear()
+
     for batch in loader:
         hu_x, hu_y, paths = batch[0], batch[1], (batch[2] if len(batch) > 2 else None)
         x, y = eval_preprocess(jnp.asarray(hu_x), jnp.asarray(hu_y))
@@ -211,32 +259,21 @@ def run_test(model, state, loader, eval_preprocess, family: str,
             pred = predictor(x)
         pred = jnp.clip(pred, 0.0, 1.0)
 
-        m = [float(v) for v in metric_fn(x, y, pred)]
-        row = {
-            "input_rmse": m[0], "gt_rmse": m[1], "pred_rmse": m[2],
-            "input_psnr": m[3], "gt_psnr": m[4], "pred_psnr": m[5],
-            "input_ssim": m[6], "gt_ssim": m[7], "pred_ssim": m[8],
-        }
+        dev = {"pix": metric_fn(x, y, pred)}
         if compute_feature_metrics:
-            pls = perc.compute_pl(x, y, pred)
-            tmls = perc.compute_tml(x, y, pred)
-            row.update({
-                "input_pl": float(pls[0]), "gt_pl": float(pls[1]),
-                "pred_pl": float(pls[2]),
-                "input_tml": float(tmls[0]), "gt_tml": float(tmls[1]),
-                "pred_tml": float(tmls[2]),
-            })
+            dev["pl"] = perc.compute_pl(x, y, pred)
+            dev["tml"] = perc.compute_tml(x, y, pred)
         if compute_fid_metric:
-            fx, fy, fp = fid_lib.compute_feat(x, y, pred)
-            feats["input"].append(np.asarray(fx))
-            feats["gt"].append(np.asarray(fy))
-            feats["pred"].append(np.asarray(fp))
+            dev["feat"] = fid_lib.compute_feat(x, y, pred)
 
+        n_seen = len(rows) + len(pending)
         name = (os.path.basename(paths[0]) if paths
-                else f"slice_{len(rows):05d}") + ".png"
-        row["filename"] = name
-        rows.append(row)
+                else f"slice_{n_seen:05d}") + ".png"
         save_png_gray(os.path.join(save_dir, "png", name), np.asarray(pred[0]))
+        pending.append((name, dev))
+        if len(pending) >= sync_every:
+            _flush()
+    _flush()
 
     summary = {k: float(np.mean([r[k] for r in rows]))
                for k in rows[0] if k != "filename"}

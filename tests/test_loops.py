@@ -134,6 +134,26 @@ def test_run_test_with_feature_metrics(rng, np_rng, tmp_path):
         assert np.isfinite(summary[k]), k
 
 
+def test_dn_predictor_fresh_noise_per_slice(rng):
+    """Regression: the diffusion test sweep must draw FRESH noise per slice
+    (reference engine.py:860-866 calls torch.randn anew per forward); one
+    captured key would give every slice an identical trajectory and bias
+    corpus-level FID."""
+    from mtd_gan_tpu.engine.loops import _predictor_for
+
+    class _FakeDN:
+        def sample(self, params, r, z):
+            return jax.random.normal(r, z.shape)
+
+    class _FakeState:
+        params = {}
+
+    predictor = _predictor_for(_FakeDN(), _FakeState(), "dn", rng)
+    z = jnp.zeros((1, 8, 8, 1))
+    a, b = predictor(z), predictor(z)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
 def test_family_of_resolves_aliases():
     """Regression: aliased names must dispatch to the right trainer family
     (previously 'MTD_GAN' fell through to the supervised family and crashed)."""
