@@ -41,6 +41,10 @@ class SupervisedTrainer:
         self.model = model
         self.base_lr = lr
         self.tx = optim_lib.get_optimizer(optimizer, lr, weight_decay)
+        # models may declare frozen params (e.g. CTformer's performer
+        # projections, fixed buffers in the reference) via trainable_mask
+        if hasattr(model, "trainable_mask"):
+            self.tx = optax.masked(self.tx, model.trainable_mask)
         self.mesh = mesh
         self._step = self._build_step()
 

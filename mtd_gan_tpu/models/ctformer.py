@@ -59,9 +59,20 @@ class TokenPerformer(nn.Module):
     def __call__(self, x: Array, train: bool = True) -> Array:
         emb = self.in_dim
         m = int(emb * self.kernel_ratio)
-        # fixed random projection (non-trainable, deterministic)
-        w = jax.random.orthogonal(jax.random.PRNGKey(17 + self.w_seed), emb)[:m]
-        w = w * jnp.sqrt(jnp.float32(m))
+        # fixed random projection. The reference stores w as a
+        # requires_grad=False nn.Parameter (token_performer.py:28-29), i.e.
+        # it lives in the checkpoint but is never updated — so it is a flax
+        # param (importable from reference .pth via tools/
+        # import_torch_checkpoint.py) frozen by CTformerModel.trainable_mask
+        # + stop_gradient. Default init: deterministic orthogonal (same
+        # distribution as torch's; exact values differ from torch's RNG).
+        w = self.param(
+            "w",
+            lambda _key: jax.random.orthogonal(
+                jax.random.PRNGKey(17 + self.w_seed), emb
+            )[:m] * jnp.sqrt(jnp.float32(m)),
+        )
+        w = jax.lax.stop_gradient(w)
 
         h = nn.LayerNorm(name="norm1")(x)
         kqv = nn.Dense(3 * emb, kernel_init=_TRUNC, name="kqv")(h)
@@ -223,6 +234,18 @@ class CTformerModel:
         return jax.jit(partial(self.net.init, train=False))(
             rng, jnp.zeros(sample_shape, jnp.float32)
         )["params"]
+
+    @staticmethod
+    def trainable_mask(params):
+        """False for the performer projections `w` — fixed buffers in the
+        reference (requires_grad=False); the trainer masks them out of the
+        optimizer so neither gradients nor weight decay touch them."""
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: not (
+                path and getattr(path[-1], "key", None) == "w"
+            ),
+            params,
+        )
 
     def apply(self, params, x, train: bool = False, rng=None):
         rngs = {"dropout": rng} if (train and rng is not None) else None

