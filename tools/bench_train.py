@@ -138,7 +138,13 @@ def main():
         ("bf16/pruned+save_spectral_full", jnp.bfloat16, "save_spectral_full"),
         ("bf16/pruned+save_spectral", jnp.bfloat16, "save_spectral"),
         ("bf16/pruned", jnp.bfloat16, None),
+        # fp32 policy sweep (VERDICT r3 item 5): save_all_named is rejected
+        # by the compile helper at fp32; measure the intermediate policies
+        # so the fp32 auto-default is a measured choice, not a guess
         ("fp32/pruned+save_all_named", None, "save_all_named"),
+        ("fp32/pruned+save_spectral_full", None, "save_spectral_full"),
+        ("fp32/pruned+save_spectral", None, "save_spectral"),
+        ("fp32/pruned", None, None),
     ], n_iters, mkw)
     if not args.skip_wgan:
         wb = 8 if args.quick else 128
