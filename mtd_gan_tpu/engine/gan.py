@@ -61,6 +61,7 @@ class MTDGANTrainer:
         g_remat: Optional[bool] = None,
         grad_backend: str = "pruned",
         hoist: Optional[bool] = None,
+        tp_axis: Optional[str] = None,
         **method_kwargs,
     ):
         self.model = model
@@ -112,6 +113,18 @@ class MTDGANTrainer:
         # two-forward step — trajectory equality between the two is pinned
         # by tests/test_engine.py::test_hoisted_step_matches_two_forward
         self.hoist = hoist
+        # tp_axis: channel-shard the generator forward over this mesh axis
+        # (parallel/tensor.py tp_generate) inside the TRAIN step — the
+        # `--multi-gpu-mode TensorParallel` path. Requires a mesh carrying
+        # the axis and the hoisted step (the vjp of the shard_mapped
+        # forward IS the TP backward; collectives are linear).
+        if tp_axis is not None:
+            if mesh is None or tp_axis not in mesh.axis_names:
+                raise ValueError(
+                    f"tp_axis={tp_axis!r} needs a mesh with that axis")
+            if hoist is False:
+                raise ValueError("TP training requires the hoisted step")
+        self.tp_axis = tp_axis
         self.tx_g = optim_lib.get_optimizer(optimizer, lr, weight_decay)
         self.tx_d = optim_lib.get_optimizer(optimizer, lr, weight_decay)
         # second AdamW param group for learnable method params
@@ -171,6 +184,9 @@ class MTDGANTrainer:
         hoist = "fake" in d_sig and hasattr(model, "g_loss_terms")
         if self.hoist is not None:
             hoist = hoist and self.hoist
+        if self.tp_axis is not None and not hoist:
+            raise ValueError(
+                "TP training requires a model with the hoisted loss API")
         # auto G remat: under bf16 compute the "save_all_named" policy
         # (zero forward recompute in the G backward, ~4.4 GB residuals at
         # batch 160) measured 478.7 ms/step vs 559.9 for plain remat
@@ -358,10 +374,23 @@ class MTDGANTrainer:
                 # does ZERO spectral forward recompute (~3 tensors/block)
                 from mtd_gan_tpu.ops.fft_conv import generator_checkpoint
 
-                gen_fn = generator_checkpoint(
-                    lambda pg: model.Generator.apply({"params": pg}, x),
-                    g_remat,
-                )
+                if self.tp_axis is not None:
+                    from mtd_gan_tpu.parallel.tensor import tp_generate
+
+                    base = lambda pg: tp_generate(
+                        pg, x, self.mesh,
+                        num_layers=model.Generator.num_layers,
+                        features=model.Generator.features,
+                        axis=self.tp_axis)
+                    # named remat policies are einsum-graph checkpoint
+                    # names; under TP fall back to plain remat when any
+                    # remat was requested
+                    gen_fn = jax.checkpoint(base) if g_remat else base
+                else:
+                    gen_fn = generator_checkpoint(
+                        lambda pg: model.Generator.apply({"params": pg}, x),
+                        g_remat,
+                    )
                 fake_raw, g_pull = jax.vjp(gen_fn, state.params_g)
                 state, d_losses, d_details = d_update(
                     state, rng_d, rng_mto, x, y,

@@ -61,6 +61,10 @@ def build_trainer(model_name: str, model, args, mesh=None):
 
     fam = family_of(model_name)
     kw = dict(optimizer=args.optimizer, lr=args.lr, mesh=mesh)
+    if getattr(args, "multi_gpu_mode", "") == "TensorParallel" and fam != "mtd":
+        raise ValueError(
+            "TensorParallel is implemented for the MTD_GAN family "
+            "(channel-sharded Res-FFT generator); use DataParallel here")
     if fam in ("cnn", "tr", "dn"):
         return SupervisedTrainer(model, **kw)
     if fam == "wgan":
@@ -69,10 +73,15 @@ def build_trainer(model_name: str, model, args, mesh=None):
         return DUGANTrainer(model, **kw)
     if fam == "mtd":
         method = getattr(args, "method", "") or None
+        tp = (getattr(args, "multi_gpu_mode", "") == "TensorParallel")
         if getattr(model, "n_d_tasks", 1) > 1:
             # stacked d_loss: MTO surgery when a method is set, else the
             # plain summed backward (reference engine.py:57-74)
-            return MTDGANTrainer(model, method=method, **kw)
+            return MTDGANTrainer(model, method=method,
+                                 tp_axis="model" if tp else None, **kw)
+        if tp:
+            raise ValueError("TensorParallel needs the full MTD_GAN_Method "
+                             "(the ablations use scalar d_loss models)")
         return AdversarialTrainer(model, n_critic=1, **kw)
     raise KeyError(fam)
 

@@ -217,12 +217,16 @@ def _w_ct_tables_np(w: int, precision: str) -> Tuple[np.ndarray, ...]:
     Im X_{4t+u} (mt lanes)] — identical to the 2*tc chunk interleave the
     dense path already uses with tc = mt, so stages B/C keep their shapes.
 
-    Returns (f_fwd, f_inv, twc, tws, sgn, half0, pm1f, pm1i):
-      f_fwd (m, 2mt):  [cos(2pi j t / m) | -sin(...)] / sqrt(w) sub-DFT
+    Returns (f_fwd1, f_fwd2, f_inv, twc, tws, half0, pm1f, pm1i):
+      f_fwd1 (m, 2mt): [cos | -sin](j t) / sqrt(w) — applied to the
+                       twiddled REAL rows (wr_u)
+      f_fwd2 (m, 2mt): [sin | cos](j t) / sqrt(w) — applied to the
+                       twiddled IMAG rows (wi_u); two dots with per-row-
+                       group factors emit [Re|Im] pairs directly (no lane
+                       swap, full MXU tiles)
       f_inv (2mt, 2m): [[cos; -sin] | [sin; cos]](t s) * 2/sqrt(w) —
                        one dot per digit group maps [a|b] -> [yr|yi]
       twc/tws (4, m):  twiddle cos/sin(2 pi u j / w)
-      sgn (1, 2mt):    [-1]*mt + [1]*mt (fwd pair-combine via half-roll)
       half0 (1, 2mt):  0.5 at lanes {0, mt} (k=0 Hermitian weight), 1 else
       pm1f (1, m):     (-1)^j / sqrt(w) (forward Nyquist reduction)
       pm1i (1, w):     (-1)^n / sqrt(w) (inverse Nyquist broadcast)
@@ -234,8 +238,9 @@ def _w_ct_tables_np(w: int, precision: str) -> Tuple[np.ndarray, ...]:
     t = np.arange(mt)
     ang = 2.0 * np.pi * np.outer(j, t) / m
     s = 1.0 / np.sqrt(w)
-    f_fwd = np.concatenate([np.cos(ang) * s, -np.sin(ang) * s],
-                           axis=1).astype(np.float32)
+    cjt, sjt = np.cos(ang) * s, np.sin(ang) * s
+    f_fwd1 = np.concatenate([cjt, -sjt], axis=1).astype(np.float32)
+    f_fwd2 = np.concatenate([sjt, cjt], axis=1).astype(np.float32)
     ang2 = 2.0 * np.pi * np.outer(t, j) / m          # (mt, m)
     c2, s2 = np.cos(ang2) * 2.0 * s, np.sin(ang2) * 2.0 * s
     f_re = np.concatenate([c2, -s2], axis=0)         # (2mt, m): a cos - b sin
@@ -245,14 +250,13 @@ def _w_ct_tables_np(w: int, precision: str) -> Tuple[np.ndarray, ...]:
     tang = 2.0 * np.pi * u * j[None, :] / w
     twc = np.cos(tang).astype(np.float32)
     tws = np.sin(tang).astype(np.float32)
-    sgn = np.concatenate([-np.ones(mt), np.ones(mt)])[None].astype(np.float32)
     half0 = np.ones((1, 2 * mt), np.float32)
     half0[0, 0] = half0[0, mt] = 0.5
     pm1f = (np.where(j % 2 == 0, 1.0, -1.0) * s)[None].astype(np.float32)
     n = np.arange(w)
     pm1i = (np.where(n % 2 == 0, 1.0, -1.0) * s)[None].astype(np.float32)
-    return (_pack_np(f_fwd, precision), _pack_np(f_inv, precision),
-            twc, tws, sgn, half0, pm1f, pm1i)
+    return (_pack_np(f_fwd1, precision), _pack_np(f_fwd2, precision),
+            _pack_np(f_inv, precision), twc, tws, half0, pm1f, pm1i)
 
 
 @lru_cache(maxsize=8)
@@ -555,27 +559,25 @@ def _ct_inv(xr, xi, f_cs, twc, tws, dots, r, m):
             jnp.concatenate([x0i, x1i, x2i, x3i], axis=1))
 
 
-def _ct_fwd_real_half(ar, f_fwd, twc, tws, dots, r, m, sgn, pm1f):
+def _ct_fwd_real_half(ar, f_fwd1, f_fwd2, twc, tws, dots, r, m, pm1f):
     """Radix-4 DIF real-input half-spectrum DFT along lanes.
 
     ar: (R, 4m) real rows (natural order). Returns (pairs, ny):
     pairs[u] = (R, 2mt) digit group [Re X_{4t+u} | Im X_{4t+u}], t < mt,
-    ny = (R, m)-summed... no: (R,) Nyquist X_{w/2} as an (R, 1) column?
-    ny: (R,) real Nyquist coefficients as a 1-D vector.
+    ny: (R,) Nyquist X_{w/2} coefficients (real by Hermitian symmetry).
 
-    Real input halves the butterfly: v0, v2 are real, v1 = conj(v3) =
-    d02 - i*d13 — 7 twiddled row groups instead of 8. The [A|B] -> [re|im]
-    pair combine is a half-width lane roll + sign vector (all slices stay
-    mt- and m-aligned: 64/128 at the production w=512)."""
-    mt = m // 2
+    Real input halves the butterfly (v0, v2 real; v1 = conj(v3)): 4 real
+    and 3 imaginary twiddled row groups instead of 4+4. Two sub-DFT dots
+    with per-row-group factors ([cos|-sin] for the real rows, [sin|cos]
+    for the imaginary ones) emit each digit's [Re|Im] pair directly —
+    7/8 of the dense complex CT's MXU work on HALF-width output tiles."""
     a = [ar[:, m * s:m * (s + 1)] for s in range(4)]
     v0 = a[0] + a[1] + a[2] + a[3]
     v2 = a[0] - a[1] + a[2] - a[3]
     d02 = a[0] - a[2]
     d13 = a[1] - a[3]
-    rows = [v0.astype(_BF16)]
     # (vr_u, vi_u): u=1 -> (d02, -d13); u=2 -> (v2, 0); u=3 -> (d02, +d13)
-    wr_list, wi_list = [], []
+    wr_list, wi_list = [v0.astype(_BF16)], []
     for u, vr_u, vi_u in ((1, d02, -d13), (2, v2, None), (3, d02, d13)):
         tc_, ts_ = twc[u:u + 1, :], tws[u:u + 1, :]
         if vi_u is None:
@@ -584,15 +586,12 @@ def _ct_fwd_real_half(ar, f_fwd, twc, tws, dots, r, m, sgn, pm1f):
         else:
             wr_list.append((tc_ * vr_u + ts_ * vi_u).astype(_BF16))
             wi_list.append((tc_ * vi_u - ts_ * vr_u).astype(_BF16))
-    zbig = jnp.concatenate(rows + wr_list + wi_list, axis=0)   # (7R, m)
-    (AB,) = dots(zbig, f_fwd)                                  # (7R, 2mt) f32
-    pairs = [AB[0:r]]  # wi_0 == 0: [A(v0) | B(v0)] = [re_0 | im_0] directly
+    (ab1,) = dots(jnp.concatenate(wr_list, axis=0), f_fwd1)  # (4R, 2mt)
+    (ab2,) = dots(jnp.concatenate(wi_list, axis=0), f_fwd2)  # (3R, 2mt)
+    pairs = [ab1[0:r]]  # wi_0 == 0: [Re|Im]_0 comes from the real row alone
     for u in (1, 2, 3):
-        ab_wr = AB[u * r:(u + 1) * r]
-        ab_wi = AB[(3 + u) * r:(4 + u) * r]
-        # [A(wr) - B(wi) | B(wr) + A(wi)] via half-roll of [A(wi)|B(wi)]
-        pairs.append(ab_wr + sgn * pltpu.roll(ab_wi, shift=mt, axis=1))
-    ny = jnp.sum(v0.astype(_F32) * pm1f, axis=1)               # (R,)
+        pairs.append(ab1[u * r:(u + 1) * r] + ab2[(u - 1) * r:u * r])
+    ny = jnp.sum(v0.astype(_F32) * pm1f, axis=1)             # (R,)
     return pairs, ny
 
 
@@ -748,12 +747,12 @@ def _stage_c_call(t, inv_p, res, h, w, precision, out_dtype_name, interpret):
 
 
 @partial(jax.jit, static_argnames=("h", "w", "kp", "tc", "precision",
-                                   "use_ct", "has_pre", "has_skip",
-                                   "has_post", "interpret", "pw"))
+                                   "use_ct", "use_ct_w", "has_pre",
+                                   "has_skip", "has_post", "interpret", "pw"))
 def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
-                      inv_p, pre_km, pre_kb, skip, post_km, post_kb, img,
-                      h, w, kp, tc, precision, use_ct, has_pre, has_skip,
-                      has_post, interpret, pw):
+                      inv_p, wt, pre_km, pre_kb, skip, post_km, post_kb, img,
+                      h, w, kp, tc, precision, use_ct, use_ct_w, has_pre,
+                      has_skip, has_post, interpret, pw):
     """One whole Res-FFT-Conv block — optionally including the LAYER conv
     that feeds it — as a SINGLE kernel per sample:
       h   = relu(pre_conv3x3(x) + pre_b [+ skip])      (when has_pre; the
@@ -801,11 +800,20 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
             slabs.extend([minus[:, lo:hi], buf[:, lo:hi], plus[:, lo:hi]])
         return jnp.concatenate(slabs, axis=0)
 
+    m_w = w // 4
+
     def kern(*refs):
-        idx = 0
         x_any = refs[0]
-        km_r, kb_r, f_r, mix_r, mb_r, fcs_r, twc_r, tws_r, inv_r = refs[1:10]
-        idx = 10
+        km_r, kb_r, mix_r, mb_r, fcs_r, twc_r, tws_r = refs[1:8]
+        idx = 8
+        if use_ct_w:
+            (ffw1_r, ffw2_r, finvw_r, twcw_r, twsw_r, half0_r,
+             pm1f_r, pm1i_r) = refs[idx:idx + 8]
+            idx += 8
+            f_r = inv_r = None
+        else:
+            f_r, inv_r = refs[idx:idx + 2]
+            idx += 2
         if has_pre:
             pkm_r, pkb_r = refs[idx:idx + 2]
             idx += 2
@@ -823,6 +831,9 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
             idx += 1
         zscr, tscr, ext = refs[idx:idx + 3]
         idx += 3
+        if use_ct_w:
+            zny, tny = refs[idx:idx + 2]
+            idx += 2
         if has_pre:
             ext2 = refs[idx]
             idx += 1
@@ -957,9 +968,19 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
             o_ref[0, :, pl.ds(h0 * w, chw)] = acc.astype(o_ref.dtype)
 
             xs = mid.reshape(c * tha, w)
-            (z,) = dots(xs, f_r)                       # (C*tha, 2Kp) f32
-            z = z.astype(zscr.dtype).reshape(c, tha, 2 * kp)
-            zscr[:, :, pl.ds(h0, tha)] = z.transpose(0, 2, 1)
+            if use_ct_w:
+                pairs, ny = _ct_fwd_real_half(
+                    xs, ffw1_r, ffw2_r, twcw_r[:], twsw_r[:], dots,
+                    c * tha, m_w, pm1f_r[:])
+                for u in range(4):
+                    zscr[:, 2 * tc * u:2 * tc * (u + 1), pl.ds(h0, tha)] = (
+                        pairs[u].reshape(c, tha, 2 * tc)
+                        .transpose(0, 2, 1).astype(zscr.dtype))
+                zny[:, pl.ds(h0, tha)] = ny.reshape(c, tha)
+            else:
+                (z,) = dots(xs, f_r)                   # (C*tha, 2Kp) f32
+                z = z.astype(zscr.dtype).reshape(c, tha, 2 * kp)
+                zscr[:, :, pl.ds(h0, tha)] = z.transpose(0, 2, 1)
             return 0
 
         jax.lax.fori_loop(0, nj, phase_a, 0)
@@ -967,8 +988,13 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
         # ---- phase 2: H-DFT + mix + inverse H-DFT per K-chunk ----
         def phase_b(j, _):
             k0 = j * tc
-            ar = zscr[:, pl.ds(k0, tc), :].reshape(r, h)
-            ai = zscr[:, pl.ds(kp + k0, tc), :].reshape(r, h)
+            if use_ct_w:
+                # digit pair groups: [re | im] interleaved per chunk
+                ar = zscr[:, pl.ds(2 * k0, tc), :].reshape(r, h)
+                ai = zscr[:, pl.ds(2 * k0 + tc, tc), :].reshape(r, h)
+            else:
+                ar = zscr[:, pl.ds(k0, tc), :].reshape(r, h)
+                ai = zscr[:, pl.ds(kp + k0, tc), :].reshape(r, h)
             if use_ct:
                 xr, xi = _ct_fwd(ar, ai, fcs_r, twc_r[:], tws_r[:],
                                  dots, r, m)
@@ -993,15 +1019,54 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
 
         jax.lax.fori_loop(0, nb, phase_b, 0)
 
+        if use_ct_w:
+            # ---- Nyquist side chain (k = w/2): its W-row is real and the
+            # k-lane never mixes with other k, so the whole H-DFT + mix +
+            # inverse-H runs once on (C, H) rows (c complex rows — tiny)
+            ar = zny[:].astype(_BF16)
+            ai = jnp.zeros((c, h), _BF16)
+            if use_ct:
+                xr, xi = _ct_fwd(ar, ai, fcs_r, twc_r[:], tws_r[:],
+                                 dots, c, m)
+            else:
+                xr, xi = _dense_h_fwd(ar, ai, fcs_r, dots, c, h)
+            s = jnp.concatenate(
+                [xr.astype(_BF16), xi.astype(_BF16)], axis=0)
+            s = jnp.maximum(dots_l(mix_r, s) + mb_r[:], 0.0)
+            xr, xi = s[:c], s[c:]
+            if use_ct:
+                tr, _ = _ct_inv(xr, xi, fcs_r, twc_r[:], tws_r[:],
+                                dots, c, m)
+            else:
+                tr, _ = _dense_h_inv(xr, xi, fcs_r, dots, c, h)
+            # the imaginary part cannot reach the output: the W-inverse row
+            # for k = w/2 is sin(pi n) = 0 (ops/dft.py _irdft_w_factors)
+            tny[:] = tr
+
         # ---- phase 3: inverse W-DFT, accumulate onto the conv residual ----
         def phase_c(j, _):
             h0 = j * tha
-            t = tscr[:, :, pl.ds(h0, tha)]             # (C, 2Kp, tha)
-            a = t.transpose(0, 2, 1).reshape(c * tha, 2 * kp)
-            (out,) = dots(a, inv_r)                    # (C*tha, W) f32
+            if use_ct_w:
+                groups = []
+                for u in range(4):
+                    g = tscr[:, pl.ds(2 * tc * u, 2 * tc), pl.ds(h0, tha)]
+                    groups.append(
+                        g.transpose(0, 2, 1).reshape(c * tha, 2 * tc))
+                out = _ct_inv_real_half(
+                    groups, finvw_r, twcw_r[:], twsw_r[:], dots,
+                    c * tha, m_w, half0_r[:])           # (C*tha, W) f32
+                out3 = out.reshape(c, tha, w)
+                ny_c = tny[:, pl.ds(h0, tha)].astype(_F32)
+                out3 = out3 + ny_c[:, :, None] * pm1i_r[:][None]
+                out = out3.reshape(c, chw)
+            else:
+                t = tscr[:, :, pl.ds(h0, tha)]          # (C, 2Kp, tha)
+                a = t.transpose(0, 2, 1).reshape(c * tha, 2 * kp)
+                (out,) = dots(a, inv_r)                 # (C*tha, W) f32
+                out = out.reshape(c, chw)
             cur = o_ref[0, :, pl.ds(h0 * w, chw)]
             o_ref[0, :, pl.ds(h0 * w, chw)] = (
-                out.reshape(c, chw) + cur.astype(_F32)).astype(o_ref.dtype)
+                out + cur.astype(_F32)).astype(o_ref.dtype)
             return 0
 
         jax.lax.fori_loop(0, nj, phase_c, 0)
@@ -1043,14 +1108,17 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
         _full_spec(km_pack.shape), _full_spec(kb.shape),
-        _full_spec(fwd_p.shape),
         _full_spec(mix_pack.shape), _full_spec(mb.shape),
         _full_spec(f_cs.shape),
         _full_spec(twc.shape), _full_spec(tws.shape),
-        _full_spec(inv_p.shape),
     ]
-    operands = [x, km_pack, kb.astype(_F32), fwd_p, mix_pack, mb, f_cs,
-                twc, tws, inv_p]
+    operands = [x, km_pack, kb.astype(_F32), mix_pack, mb, f_cs, twc, tws]
+    if use_ct_w:
+        in_specs += [_full_spec(t.shape) for t in wt]
+        operands += list(wt)
+    else:
+        in_specs += [_full_spec(fwd_p.shape), _full_spec(inv_p.shape)]
+        operands += [fwd_p, inv_p]
     if has_pre:
         in_specs += [_full_spec(pre_km.shape), _full_spec(pre_kb.shape)]
         operands += [pre_km, pre_kb.astype(_F32)]
@@ -1069,6 +1137,8 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
         pltpu.VMEM((c, 2 * kp, h), _BF16),
         pltpu.VMEM((c, (tha + 2) * w), x.dtype),
     ]
+    if use_ct_w:
+        scratch += [pltpu.VMEM((c, h), _F32), pltpu.VMEM((c, h), _F32)]
     if has_pre:
         scratch.append(pltpu.VMEM((c_in, (tha + 4) * w), x.dtype))
     if has_skip:
@@ -1142,7 +1212,7 @@ def fft_block_nchw(x, img_kmat_pack, img_bias, mix_pack, bias_col,
                    h, w, precision="bf16x2", bound_dtype=jnp.bfloat16,
                    fused=True, pre_kmat_pack=None, pre_bias=None, skip=None,
                    post_kmat_pack=None, post_bias=None, post_img=None,
-                   interpret=False, pw=None):
+                   interpret=False, pw=None, use_ct_w=None):
     """One Res-FFT-Conv block (reference arch/Ours/networks.py:15-36) on an
     (N, C, H*W) channel-major activation:
     out = x + relu(conv3x3(x)+b) + irfft2(relu(mix([Re;Im] rfft2(x)))).
@@ -1153,16 +1223,19 @@ def fft_block_nchw(x, img_kmat_pack, img_bias, mix_pack, bias_col,
     optionally skip), the fused kernel also computes the LAYER conv
     feeding the block: x <- relu(pre_conv(x) + pre_b [+ skip]).
     """
-    (kp, tc, use_ct, fwd_p, inv_p, f_cs, twc, tws) = (
-        _spectral_tables(h, w, precision, pw=pw))
+    (kp, tc, use_ct, use_ct_w, fwd_p, inv_p, wt, f_cs, twc, tws) = (
+        _spectral_tables(h, w, precision, pw=pw,
+                         use_ct_w=use_ct_w if fused else False))
     if fused:
         return _block_fused_call(
             x, img_kmat_pack, img_bias, fwd_p, mix_pack, bias_col,
-            f_cs, twc, tws, inv_p, pre_kmat_pack, pre_bias, skip,
+            f_cs, twc, tws, inv_p, wt, pre_kmat_pack, pre_bias, skip,
             post_kmat_pack, post_bias, post_img,
-            h, w, kp, tc, precision, use_ct,
+            h, w, kp, tc, precision, use_ct, use_ct_w,
             pre_kmat_pack is not None, skip is not None,
             post_kmat_pack is not None, interpret, pw or w)
+    # the unfused 4-kernel pipeline keeps the dense W factors: it is the
+    # structural cross-check the CT-W fused path is tested against
     assert pre_kmat_pack is None and skip is None, (
         "layer-conv fusion requires fused=True")
     res = conv3x3(x, img_kmat_pack, img_bias, h, w, relu=True, residual=True,
@@ -1218,7 +1291,7 @@ def resfft_generator_nchw(params, x, num_layers: int = 10,
                           conv_precision: str = "bf16",
                           act_dtype=jnp.bfloat16,
                           interpret: Optional[bool] = None,
-                          pack: int = 1):
+                          pack: int = 1, use_ct_w: Optional[bool] = None):
     """Full ResFFT generator forward (reference arch/Ours/networks.py:95-164)
     through the channel-major Pallas pipeline.
 
@@ -1269,7 +1342,7 @@ def resfft_generator_nchw(params, x, num_layers: int = 10,
                               pre_kmat_pack=pkm, pre_bias=pkb, skip=skip,
                               post_kmat_pack=qkm, post_bias=qkb,
                               post_img=img32 if post is not None else None,
-                              interpret=interpret, pw=pw)
+                              interpret=interpret, pw=pw, use_ct_w=use_ct_w)
 
     # every layer conv (enc_i/dec_i, reference networks.py:95-164) fuses
     # into the block kernel that consumes its output: the whole generator

@@ -24,17 +24,26 @@ def make_mesh(
     n_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("data",),
     devices: Optional[Sequence] = None,
+    shape: Optional[Sequence[int]] = None,
 ) -> Mesh:
-    """1-D (or reshaped) mesh over the available devices."""
+    """1-D (or reshaped) mesh over the available devices.
+
+    `shape` pins the per-axis sizes (e.g. (1, 8) for a pure tensor-parallel
+    ('data', 'model') mesh, (2, 4) for 2-D); -1 fills from the device count.
+    Default: all devices on the FIRST axis, trailing axes size 1."""
     devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
-    if len(axis_names) == 1:
+    if shape is not None:
+        known = int(np.prod([s for s in shape if s != -1]))
+        shape = tuple(len(devs) // known if s == -1 else s for s in shape)
+        arr = np.array(devs).reshape(shape)
+    elif len(axis_names) == 1:
         arr = np.array(devs)
     else:
         # fill trailing axes with 1 except the first
-        shape = (len(devs),) + (1,) * (len(axis_names) - 1)
-        arr = np.array(devs).reshape(shape)
+        arr = np.array(devs).reshape(
+            (len(devs),) + (1,) * (len(axis_names) - 1))
     return Mesh(arr, axis_names)
 
 

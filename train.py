@@ -49,8 +49,16 @@ def get_args_parser():
     p.add_argument("--min-lr", default=1e-5, type=float)
     # parallel
     p.add_argument("--multi-gpu-mode", default="Single",
-                   choices=["Single", "DataParallel"], type=str,
-                   help="DataParallel = shard batch over all local devices")
+                   choices=["Single", "DataParallel", "TensorParallel"],
+                   type=str,
+                   help="DataParallel = shard batch over all local devices; "
+                        "TensorParallel = channel-shard the MTD-GAN "
+                        "generator over a 'model' mesh axis (MTD family "
+                        "only; set --tp-size for a 2-D data x model mesh)")
+    p.add_argument("--tp-size", default=-1, type=int,
+                   help="model-axis size for TensorParallel (-1 = all "
+                        "devices; e.g. 4 on 8 devices = 2-way data x "
+                        "4-way model)")
     p.add_argument("--device", default="tpu", type=str)
     # logging / checkpoints
     p.add_argument("--print-freq", default=10, type=int)
@@ -113,7 +121,13 @@ def main(args):
     model = get_model(args.model, **model_kwargs)
     family = family_of(args.model)
 
-    mesh = make_mesh() if args.multi_gpu_mode == "DataParallel" else None
+    if args.multi_gpu_mode == "DataParallel":
+        mesh = make_mesh()
+    elif args.multi_gpu_mode == "TensorParallel":
+        mesh = make_mesh(axis_names=("data", "model"),
+                         shape=(-1 if args.tp_size > 0 else 1, args.tp_size))
+    else:
+        mesh = None
     trainer = build_trainer(args.model, model, args, mesh=mesh)
     state = trainer.create_state(rng)
     n_params = sum(
