@@ -54,10 +54,10 @@ def bench_train_steps(x, y, configs, n_iters, mkw):
     from mtd_gan_tpu.engine import MTDGANTrainer
     from mtd_gan_tpu.models.mtd_gan import MTDGANModel
 
-    for label, dtype, g_remat in configs:
+    for label, dtype, g_remat, *extra in configs:
         model = MTDGANModel(dtype=dtype, **mkw)
         tr = MTDGANTrainer(model, method="pcgrad", grad_backend="pruned",
-                           g_remat=g_remat)
+                           g_remat=g_remat, **(extra[0] if extra else {}))
         state = tr.create_state(jax.random.PRNGKey(0))
         holder = {"s": state}
 
@@ -145,6 +145,9 @@ def main():
         ("fp32/pruned+save_spectral_full", None, "save_spectral_full"),
         ("fp32/pruned+save_spectral", None, "save_spectral"),
         ("fp32/pruned", None, None),
+        # VERDICT r3 item 1 A/B: pack=2 Pallas primal + einsum-vjp backward
+        ("bf16/pallas_packed_fwd+save_all_named", jnp.bfloat16,
+         "save_all_named", {"g_forward": "pallas_packed"}),
     ], n_iters, mkw)
     if not args.skip_wgan:
         wb = 8 if args.quick else 128
