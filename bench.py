@@ -72,7 +72,7 @@ def main():
     t_start = time.perf_counter()
     best, attempts, min_failed_batch = 0.0, 0, None
     warmups, last_err = [], None
-    for batch in (32, 64, 16, 8, 4):
+    for batch in (64, 128, 32, 16, 8, 4):
         # a bigger batch than one that already failed is guaranteed to fail
         # too — don't burn ~3 min of cold compile on it (ADVICE r3)
         if min_failed_batch is not None and batch >= min_failed_batch:

@@ -201,14 +201,17 @@ class MTDGANTrainer:
         # auto G remat: under bf16 compute the "save_all_named" policy
         # (zero forward recompute in the G backward, ~4.4 GB residuals at
         # batch 160) measured 478.7 ms/step vs 559.9 for plain remat
-        # (tools/bench_train.py, PERF.md); fp32 save_all_named is rejected
-        # by the compile helper, so fp32 keeps the model's boolean default.
+        # (tools/bench_train.py, PERF.md). Under fp32 both save_all_named
+        # and save_spectral_full are rejected by the compile helper
+        # (HTTP 500, residual footprint), and the r4 sweep measured
+        # save_spectral at 783.8 ms/step vs 865.0 for plain remat at
+        # batch 160 — so fp32 auto = "save_spectral" (PERF.md).
         if self.g_remat is not None:
             g_remat = self.g_remat
         elif getattr(model, "dtype", None) == jnp.bfloat16:
             g_remat = "save_all_named"
         else:
-            g_remat = getattr(model, "remat", True)
+            g_remat = "save_spectral"
 
         def d_update(state: GANTrainState, rng_d, rng_mto, x, y, fake=None):
             fake_kw = {"fake": fake} if fake is not None else {}

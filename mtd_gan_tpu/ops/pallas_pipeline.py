@@ -776,6 +776,11 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
     r = c * tc
     m = h // 4
     chw = tha * w
+    # Mosaic supports the (r, h) <-> (c, tc*h) stage-B shape casts only when
+    # rows are whole 128-lane tiles; at the packed training geometry (h = 64)
+    # the fold runs through scratch instead (unrolled h-wide copies — probed
+    # on-chip: tpu.reshape/tpu.concatenate reject half-tile rows)
+    need_fold = h % 128 != 0
     dots = _make_dots(precision)
     dots_l = _make_dots_left(precision)
     conv_dots_l = _make_dots_left("bf16" if km_pack.shape[0] == 1 else "bf16x2")
@@ -840,6 +845,9 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
         if has_skip:
             ext_s = refs[idx]
             idx += 1
+        if need_fold:
+            fscr, uscr = refs[idx:idx + 2]
+            idx += 2
         sem = refs[idx]
         i = pl.program_id(0)
 
@@ -1000,12 +1008,26 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
                                  dots, r, m)
             else:
                 xr, xi = _dense_h_fwd(ar, ai, fcs_r, dots, r, h)
-            s = jnp.concatenate(
-                [xr.reshape(c, tc * h).astype(_BF16),
-                 xi.reshape(c, tc * h).astype(_BF16)], axis=0)
+            if need_fold:
+                xr3 = xr.reshape(c, tc, h)
+                xi3 = xi.reshape(c, tc, h)
+                for t in range(tc):
+                    fscr[:c, t * h:(t + 1) * h] = xr3[:, t, :]
+                    fscr[c:, t * h:(t + 1) * h] = xi3[:, t, :]
+                s = fscr[:].astype(_BF16)
+            else:
+                s = jnp.concatenate(
+                    [xr.reshape(c, tc * h).astype(_BF16),
+                     xi.reshape(c, tc * h).astype(_BF16)], axis=0)
             s = jnp.maximum(dots_l(mix_r, s) + mb_r[:], 0.0)
-            xr = s[:c].reshape(r, h)
-            xi = s[c:].reshape(r, h)
+            if need_fold:
+                for t in range(tc):
+                    uscr[:, t, :] = s[:, t * h:(t + 1) * h]
+                xr = uscr[:c].reshape(r, h)
+                xi = uscr[c:].reshape(r, h)
+            else:
+                xr = s[:c].reshape(r, h)
+                xi = s[c:].reshape(r, h)
             if use_ct:
                 tr, ti = _ct_inv(xr, xi, fcs_r, twc_r[:], tws_r[:],
                                  dots, r, m)
@@ -1143,6 +1165,9 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
         scratch.append(pltpu.VMEM((c_in, (tha + 4) * w), x.dtype))
     if has_skip:
         scratch.append(pltpu.VMEM((c, (tha + 2) * w), x.dtype))
+    if h % 128 != 0:  # need_fold stage-B relayout staging
+        scratch += [pltpu.VMEM((2 * c, tc * h), _F32),
+                    pltpu.VMEM((2 * c, tc, h), _F32)]
     scratch.append(pltpu.SemaphoreType.DMA((6,)))
     out_shape = jax.ShapeDtypeStruct((n, c, hw), x.dtype)
     out_spec = pl.BlockSpec((1, c, hw), lambda i: (i, 0, 0),
@@ -1172,7 +1197,8 @@ def _pick_tc(kp: int) -> int:
     return 96 if kp % 96 == 0 else kp
 
 
-def _spectral_tables(h, w, precision, pw=None, use_ct_w=None):
+def _spectral_tables(h, w, precision, pw=None, use_ct_w=None,
+                     interpret=False):
     packed = bool(pw and pw != w)
     if use_ct_w is None:
         # production gate: the unpacked 512-wide path (m = 128 keeps every
@@ -1198,7 +1224,13 @@ def _spectral_tables(h, w, precision, pw=None, use_ct_w=None):
         tc = _pick_tc(kp)
         fwd_p, inv_p = (jnp.asarray(t)
                         for t in _w_tables_np(w, kp, tc, precision))
-    use_ct = h % 4 == 0 and (h // 4) % 8 == 0
+    # radix-4 CT-H needs m = h/4 lanes per sub-DFT row group; Mosaic rejects
+    # the group concats when m is not a whole 128-lane tile (probed on-chip
+    # at h = 64: "offset mismatch on non-concat dimension"). At small h the
+    # dense (h, 2h) factor is a single full-lane MXU dot anyway — use it.
+    # Interpret mode (CPU tests) keeps CT coverage at any 8-aligned m.
+    use_ct = (h % 4 == 0 and (h // 4) % 8 == 0
+              and (interpret or (h // 4) % 128 == 0))
     if use_ct:
         f_cs, twc, tws = _h_ct_tables_np(h, precision)
     else:
@@ -1225,7 +1257,8 @@ def fft_block_nchw(x, img_kmat_pack, img_bias, mix_pack, bias_col,
     """
     (kp, tc, use_ct, use_ct_w, fwd_p, inv_p, wt, f_cs, twc, tws) = (
         _spectral_tables(h, w, precision, pw=pw,
-                         use_ct_w=use_ct_w if fused else False))
+                         use_ct_w=use_ct_w if fused else False,
+                         interpret=interpret))
     if fused:
         return _block_fused_call(
             x, img_kmat_pack, img_bias, fwd_p, mix_pack, bias_col,

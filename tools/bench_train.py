@@ -113,6 +113,9 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="small batch + fewer iters (CI smoke)")
     ap.add_argument("--skip-wgan", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="substring filter on train-step config labels "
+                         "(skips g_forward when set)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (env vars alone cannot "
                          "override the axon sitecustomize pin)")
@@ -132,8 +135,9 @@ def main():
 
     mkw = (dict(gen_features=8, disc_features=8, num_layers=2)
            if args.quick else {})
-    bench_g_forward(x, n_iters, mkw)
-    bench_train_steps(x, y, [
+    if args.only is None:
+        bench_g_forward(x, n_iters, mkw)
+    configs = [
         ("bf16/pruned+save_all_named", jnp.bfloat16, "save_all_named"),
         ("bf16/pruned+save_spectral_full", jnp.bfloat16, "save_spectral_full"),
         ("bf16/pruned+save_spectral", jnp.bfloat16, "save_spectral"),
@@ -148,7 +152,10 @@ def main():
         # VERDICT r3 item 1 A/B: pack=2 Pallas primal + einsum-vjp backward
         ("bf16/pallas_packed_fwd+save_all_named", jnp.bfloat16,
          "save_all_named", {"g_forward": "pallas_packed"}),
-    ], n_iters, mkw)
+    ]
+    if args.only:
+        configs = [c for c in configs if args.only in c[0]]
+    bench_train_steps(x, y, configs, n_iters, mkw)
     if not args.skip_wgan:
         wb = 8 if args.quick else 128
         bench_wgan_family(x[:wb], y[:wb], n_iters)
