@@ -133,7 +133,12 @@ class MTDGANTrainer:
         # graph — the VERDICT r3 item-1 A/B. Requires even batch and the
         # hoisted step; the backward re-runs the einsum forward under the
         # g_remat policy (its residuals cannot come from the Pallas primal).
-        if g_forward not in ("einsum", "pallas_packed"):
+        # g_forward="pallas": the FULL fused Pallas training path — packed
+        # pair forward AND a fused per-block backward kernel via block-
+        # level custom_vjp (ops/pallas_train.py). Requires even batch and
+        # the hoisted step; g_remat does not apply (block inputs are the
+        # vjp residuals — the natural "save block inputs" remat).
+        if g_forward not in ("einsum", "pallas_packed", "pallas"):
             raise ValueError(g_forward)
         self.g_forward = g_forward
         self.tx_g = optim_lib.get_optimizer(optimizer, lr, weight_decay)
@@ -425,6 +430,22 @@ class MTDGANTrainer:
                             lambda pg: (_pallas_primal(pg), pg),
                             lambda pg, ct: jax.vjp(einsum_fn, pg)[1](ct))
                         gen_fn = gen
+                    elif self.g_forward == "pallas":
+                        # FULL Pallas training path: fused forward AND a
+                        # fused per-block backward kernel (block-level
+                        # custom_vjp, ops/pallas_train.py) — no einsum
+                        # graph, no remat policy (block inputs ARE the
+                        # residuals). Grad parity vs the einsum path is
+                        # pinned by tests/test_pallas_train.py.
+                        from mtd_gan_tpu.ops.pallas_train import (
+                            resfft_generator_train)
+
+                        out_dtype = jax.eval_shape(
+                            gen_fn, state.params_g).dtype
+                        gen_fn = lambda pg: resfft_generator_train(
+                            pg, x,
+                            num_layers=model.Generator.num_layers,
+                        ).astype(out_dtype)
                 fake_raw, g_pull = jax.vjp(gen_fn, state.params_g)
                 state, d_losses, d_details = d_update(
                     state, rng_d, rng_mto, x, y,

@@ -152,6 +152,9 @@ def main():
         # VERDICT r3 item 1 A/B: pack=2 Pallas primal + einsum-vjp backward
         ("bf16/pallas_packed_fwd+save_all_named", jnp.bfloat16,
          "save_all_named", {"g_forward": "pallas_packed"}),
+        # FULL fused Pallas training path: packed forward + per-block
+        # fused backward kernels (ops/pallas_train.py)
+        ("bf16/pallas_full", jnp.bfloat16, False, {"g_forward": "pallas"}),
     ]
     if args.only:
         configs = [c for c in configs if args.only in c[0]]
