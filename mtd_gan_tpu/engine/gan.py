@@ -62,7 +62,7 @@ class MTDGANTrainer:
         grad_backend: str = "pruned",
         hoist: Optional[bool] = None,
         tp_axis: Optional[str] = None,
-        g_forward: str = "einsum",
+        g_forward: str = "auto",
         **method_kwargs,
     ):
         self.model = model
@@ -138,7 +138,11 @@ class MTDGANTrainer:
         # level custom_vjp (ops/pallas_train.py). Requires even batch and
         # the hoisted step; g_remat does not apply (block inputs are the
         # vjp residuals — the natural "save block inputs" remat).
-        if g_forward not in ("einsum", "pallas_packed", "pallas"):
+        # g_forward="auto" (default): "pallas" on a real TPU under bf16
+        # compute with an even batch (measured 369.8 vs 478.7 ms/step at
+        # batch 160 — PERF.md), "einsum" otherwise (fp32, CPU/interpret,
+        # TP-sharded, or odd batch).
+        if g_forward not in ("auto", "einsum", "pallas_packed", "pallas"):
             raise ValueError(g_forward)
         self.g_forward = g_forward
         self.tx_g = optim_lib.get_optimizer(optimizer, lr, weight_decay)
@@ -410,7 +414,20 @@ class MTDGANTrainer:
                         lambda pg: model.Generator.apply({"params": pg}, x),
                         g_remat,
                     )
-                    if self.g_forward == "pallas_packed":
+                    g_forward = self.g_forward
+                    if g_forward == "auto":
+                        # resolved at trace time (batch shape is known):
+                        # the fused Pallas path needs a real TPU (interpret
+                        # mode is orders slower), bf16 weights (the kernels
+                        # stream bf16x2 factors), and an even batch (pack=2)
+                        g_forward = (
+                            "pallas"
+                            if (jax.default_backend() == "tpu"
+                                and getattr(model, "dtype", None)
+                                == jnp.bfloat16
+                                and x.shape[0] % 2 == 0)
+                            else "einsum")
+                    if g_forward == "pallas_packed":
                         from mtd_gan_tpu.ops.pallas_pipeline import (
                             resfft_generator_nchw)
 
@@ -430,7 +447,7 @@ class MTDGANTrainer:
                             lambda pg: (_pallas_primal(pg), pg),
                             lambda pg, ct: jax.vjp(einsum_fn, pg)[1](ct))
                         gen_fn = gen
-                    elif self.g_forward == "pallas":
+                    elif g_forward == "pallas":
                         # FULL Pallas training path: fused forward AND a
                         # fused per-block backward kernel (block-level
                         # custom_vjp, ops/pallas_train.py) — no einsum

@@ -78,7 +78,9 @@ def build_trainer(model_name: str, model, args, mesh=None):
             # stacked d_loss: MTO surgery when a method is set, else the
             # plain summed backward (reference engine.py:57-74)
             return MTDGANTrainer(model, method=method,
-                                 tp_axis="model" if tp else None, **kw)
+                                 tp_axis="model" if tp else None,
+                                 g_forward=getattr(args, "g_forward", "auto"),
+                                 **kw)
         if tp:
             raise ValueError("TensorParallel needs the full MTD_GAN_Method "
                              "(the ablations use scalar d_loss models)")

@@ -71,6 +71,12 @@ def get_args_parser():
     p.add_argument("--seed", default=2024, type=int)
     p.add_argument("--model-kwargs", default="", type=str,
                    help='JSON kwargs for the model ctor (e.g. \'{"out_ch": 8}\')')
+    p.add_argument("--g-forward", default="auto",
+                   choices=["auto", "einsum", "pallas_packed", "pallas"],
+                   help="generator train-forward path for the MTD_GAN "
+                        "family: auto = fused Pallas kernels on TPU+bf16 "
+                        "(369.8 vs 478.7 ms/step at batch 160), einsum "
+                        "elsewhere")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute / fp32 master params (models with a "
                         "dtype arg; loss math stays fp32)")
