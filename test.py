@@ -38,6 +38,9 @@ def get_args_parser():
                         "{checkpoint-dir}/orbax latest")
     p.add_argument("--epoch", default=-1, type=int,
                    help="epoch to restore (-1 = latest)")
+    p.add_argument("--eval-batch", default=8, type=int,
+                   help="slices per forward in the sweep (metrics/PNGs stay "
+                        "per-slice; tr/dn families always run per-slice)")
     p.add_argument("--no-feature-metrics", action="store_true",
                    help="skip PL/TML/FID (no pretrained weights scenario)")
     p.add_argument("--seed", default=42, type=int)
@@ -79,6 +82,7 @@ def main(args):
         save_dir=args.save_dir, rng=rng,
         compute_fid_metric=not args.no_feature_metrics,
         compute_feature_metrics=not args.no_feature_metrics,
+        eval_batch=args.eval_batch,
     )
     line = {"epoch": epoch, "model": args.model, **summary, "memo": args.memo}
     os.makedirs(args.save_dir, exist_ok=True)

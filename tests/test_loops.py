@@ -161,3 +161,39 @@ def test_family_of_resolves_aliases():
     assert family_of("ED_CNN") == "cnn"
     assert family_of("MAP_NN_brain") == "wgan"
     assert family_of("DU_GAN_brain") == "dugan"
+
+
+def test_run_test_grouped_matches_per_slice(rng, np_rng, tmp_path):
+    """The eval_batch>1 sweep (grouped forward, padded tail) must produce
+    the SAME per-slice csv rows as the per-slice sweep — grouping is an
+    internal throughput lever, not a semantics change."""
+    import csv
+
+    model = REDCNNModel(out_ch=8)
+    trainer = build_trainer("RED_CNN", model, _Args())
+    state = trainer.create_state(rng)
+    eval_pre = make_eval_preprocess("window", "mayo")
+
+    def loader():
+        for i in range(5):  # 5 % 3 != 0 -> exercises the padded tail
+            hu_x, hu_y = _hu_batch(np_rng2, n=1)
+            yield (hu_x, hu_y, [f"/fake/s{i}.IMA"])
+
+    rows = {}
+    for eb, sub in ((1, "a"), (3, "b")):
+        np_rng2 = np.random.default_rng(7)
+        run_test(model, state, loader(), eval_pre, "cnn",
+                 save_dir=str(tmp_path / sub), compute_fid_metric=False,
+                 compute_feature_metrics=False, eval_batch=eb)
+        with open(tmp_path / sub / "pred_results.csv") as f:
+            rows[sub] = list(csv.DictReader(f))
+
+    assert len(rows["a"]) == len(rows["b"]) == 5
+    for ra, rb in zip(rows["a"], rows["b"]):
+        assert ra["filename"] == rb["filename"]
+        for k in ra:
+            if k != "filename":
+                assert float(ra[k]) == pytest.approx(float(rb[k]),
+                                                     rel=1e-5, abs=1e-6), k
+    # no padded extras leaked into artifacts
+    assert len(os.listdir(tmp_path / "b" / "png")) == 5
