@@ -284,6 +284,109 @@ def _h_ct_tables_np(h: int, precision: str) -> Tuple[np.ndarray, ...]:
 
 
 @lru_cache(maxsize=8)
+def _w_ct_folded_np(w: int, precision: str) -> Tuple[np.ndarray, ...]:
+    """Twiddle-FOLDED radix-4 CT tables for the W-axis real half-spectrum
+    DFT (round 4): the digit twiddles e^{-2 pi i u j / w} (and the k = 0
+    Hermitian half-weight) move INTO per-digit factor matrices, so the
+    kernels run butterfly adds + MXU dots only — no VPU twiddle passes, no
+    post-dot [Re|Im] assembly. Because X_{4t+u} = sum_j v_u[j] W_w^{j(4t+u)},
+    each digit's combined (twiddle o sub-DFT) factor is just the global DFT
+    factor restricted to its residue class: E_u[j, t] = W_w^{j(4t+u)}/sqrt(w).
+
+    MAC counts also DROP vs the unfolded form: forward 7 -> 6 r*m^2 (the
+    real/imag row groups of digits 1/3 share one [d02 | d13] operand), and
+    inverse 8 -> 6 r*m^2 (digits 0/2 emit only the REAL outputs the
+    keep-real butterfly consumes; the unfolded fused dot computed their
+    dead imaginary halves too).
+
+    Returns (e0, e2, g1, g3, k02, k1, k3, pm1f, pm1i):
+      e0/e2 (m, 2mt):   [Re|Im]-emitting factors for the real rows v0/v2
+      g1/g3 (2m, 2mt):  factors on [d02 | d13] for digits 1 (v = d02-i*d13)
+                        and 3 (v = d02+i*d13)
+      k02 (2, 2mt, m):  inverse factors for digits 0/2, REAL outputs only;
+                        k = 0 Hermitian weight folded into k02[0]'s t=0 rows
+      k1/k3 (2mt, 2m):  inverse factors emitting twiddled [zr | zi]
+      pm1f/pm1i:        Nyquist side-chain vectors (as _w_ct_tables_np)
+    """
+    assert w % 4 == 0 and (w // 4) % 2 == 0, w
+    m = w // 4
+    mt = m // 2
+    s = 1.0 / np.sqrt(w)
+    j = np.arange(m)[:, None]
+    t = np.arange(mt)[None, :]
+
+    def ef(u):
+        ang = 2.0 * np.pi * j * (4 * t + u) / w
+        return np.cos(ang) * s, -np.sin(ang) * s
+
+    er0, ei0 = ef(0)
+    er1, ei1 = ef(1)
+    er2, ei2 = ef(2)
+    er3, ei3 = ef(3)
+    e0 = np.concatenate([er0, ei0], axis=1).astype(np.float32)
+    e2 = np.concatenate([er2, ei2], axis=1).astype(np.float32)
+    g1 = np.block([[er1, ei1], [ei1, -er1]]).astype(np.float32)
+    g3 = np.block([[er3, ei3], [-ei3, er3]]).astype(np.float32)
+
+    tt = np.arange(mt)[:, None]
+    n = np.arange(m)[None, :]
+
+    def iv(u):
+        ang = 2.0 * np.pi * n * (4 * tt + u) / w
+        return np.cos(ang) * 2.0 * s, np.sin(ang) * 2.0 * s
+
+    fr0, fi0 = iv(0)
+    fr1, fi1 = iv(1)
+    fr2, fi2 = iv(2)
+    fr3, fi3 = iv(3)
+    k0 = np.concatenate([fr0, -fi0], axis=0).astype(np.float32)
+    k0[0] *= 0.5   # k = 0: Hermitian weight 1, not 2 (was `half0`)
+    k0[mt] *= 0.5
+    k2 = np.concatenate([fr2, -fi2], axis=0).astype(np.float32)
+    k1 = np.block([[fr1, fi1], [-fi1, fr1]]).astype(np.float32)
+    k3 = np.block([[fr3, fi3], [-fi3, fr3]]).astype(np.float32)
+
+    pm1f = (np.where(np.arange(m) % 2 == 0, 1.0, -1.0) * s)[None]
+    nn = np.arange(w)
+    pm1i = (np.where(nn % 2 == 0, 1.0, -1.0) * s)[None]
+    pk = partial(_pack_np, precision=precision)
+    # k02 stacks the two PACKS digit-major: k02[u] is digit u's (P, 2mt, m)
+    # hi/lo pack (stacking before packing would put the pack dim first and
+    # make k02[0] the hi halves of BOTH digits)
+    return (pk(e0), pk(e2), pk(g1), pk(g3), np.stack([pk(k0), pk(k2)]),
+            pk(k1), pk(k3),
+            pm1f.astype(np.float32), pm1i.astype(np.float32))
+
+
+@lru_cache(maxsize=8)
+def _h_ct_folded_np(h: int, precision: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Twiddle-folded radix-4 CT tables for the H-axis ortho DFT, h = 4m.
+
+    gf (4, P, 2m, 2m): per-digit forward factors on [vr_u | vi_u] emitting
+    [Re X_u | Im X_u] directly — E_u[j, t] = W_h^{j(4t+u)}/sqrt(h) in the
+    real-linear representation (twiddle + sub-DFT + output assembly all in
+    one dot; same MACs as the unfolded single dot over 8 row groups).
+    gi (4, P, 2m, 2m): per-digit inverse factors on [Re X_u | Im X_u]
+    emitting the conj-twiddled [zr_u | zi_u]: F_u[t, n] = W_h^{-n(4t+u)} /
+    sqrt(h). The radix-4 butterflies stay on the VPU (pure adds)."""
+    assert h % 4 == 0, h
+    m = h // 4
+    s = 1.0 / np.sqrt(h)
+    j = np.arange(m)[:, None]
+    t = np.arange(m)[None, :]
+    gf, gi = [], []
+    for u in range(4):
+        ang = 2.0 * np.pi * j * (4 * t + u) / h
+        er, ei = np.cos(ang) * s, -np.sin(ang) * s
+        gf.append(_pack_np(
+            np.block([[er, ei], [-ei, er]]).astype(np.float32), precision))
+        fr, fi = np.cos(ang).T * s, np.sin(ang).T * s
+        gi.append(_pack_np(
+            np.block([[fr, fi], [-fi, fr]]).astype(np.float32), precision))
+    return np.stack(gf), np.stack(gi)
+
+
+@lru_cache(maxsize=8)
 def _h_dense_tables_np(h: int, precision: str) -> np.ndarray:
     """N-combined [hr | hi] (h, 2h) dense fallback factor pack."""
     hr, hi = _dft_h_factors(h)
@@ -622,6 +725,84 @@ def _ct_inv_real_half(groups, f_inv, twc, tws, dots, r, m, half0):
     return jnp.concatenate([x0, x1, x2, x3], axis=1)
 
 
+def _ct_fwd_folded(ar, ai, gf, dots, r, m):
+    """Radix-4 DIF forward DFT along lanes with the digit twiddles FOLDED
+    into per-digit [Re|Im]-emitting factor tables (_h_ct_folded_np): the
+    VPU runs only the butterfly adds; each digit is one (R, 2m) x (2m, 2m)
+    dot. Same layout contract as :func:`_ct_fwd` (digit-major output)."""
+    a = [ar[:, m * s:m * (s + 1)] for s in range(4)]
+    b = [ai[:, m * s:m * (s + 1)] for s in range(4)]
+    d02r, d02i = a[0] - a[2], b[0] - b[2]
+    d13r, d13i = a[1] - a[3], b[1] - b[3]
+    vr = [a[0] + a[1] + a[2] + a[3], d02r + d13i,
+          a[0] - a[1] + a[2] - a[3], d02r - d13i]
+    vi = [b[0] + b[1] + b[2] + b[3], d02i - d13r,
+          b[0] - b[1] + b[2] - b[3], d02i + d13r]
+    xr, xi = [], []
+    for u in range(4):
+        (P,) = dots(jnp.concatenate([vr[u], vi[u]], axis=1), gf[u])
+        xr.append(P[:, :m])
+        xi.append(P[:, m:])
+    return jnp.concatenate(xr, axis=1), jnp.concatenate(xi, axis=1)
+
+
+def _ct_inv_folded(xr, xi, gi, dots, r, m):
+    """Radix-4 inverse of :func:`_ct_fwd_folded`: per-digit dots emit the
+    conj-TWIDDLED [zr_u | zi_u] directly (twiddle + P/Q assembly folded
+    into the factors); only the radix-4 butterfly runs on the VPU."""
+    zr, zi = [], []
+    for u in range(4):
+        lhs = jnp.concatenate(
+            [xr[:, m * u:m * (u + 1)], xi[:, m * u:m * (u + 1)]], axis=1)
+        (Z,) = dots(lhs, gi[u])
+        zr.append(Z[:, :m])
+        zi.append(Z[:, m:])
+    x0r = zr[0] + zr[1] + zr[2] + zr[3]
+    x0i = zi[0] + zi[1] + zi[2] + zi[3]
+    x1r = zr[0] - zi[1] - zr[2] + zi[3]
+    x1i = zi[0] + zr[1] - zi[2] - zr[3]
+    x2r = zr[0] - zr[1] + zr[2] - zr[3]
+    x2i = zi[0] - zi[1] + zi[2] - zi[3]
+    x3r = zr[0] + zi[1] - zr[2] - zi[3]
+    x3i = zi[0] - zr[1] - zi[2] + zr[3]
+    return (jnp.concatenate([x0r, x1r, x2r, x3r], axis=1),
+            jnp.concatenate([x0i, x1i, x2i, x3i], axis=1))
+
+
+def _ct_fwd_real_half_folded(ar, e0, e2, g1, g3, dots, r, m, pm1f):
+    """Real-input half-spectrum radix-4 forward with folded twiddles
+    (_w_ct_folded_np): digits 1/3 share one [d02 | d13] operand, so the
+    MXU work drops 7 -> 6 r*m^2 vs :func:`_ct_fwd_real_half` while the
+    VPU runs only the (real) butterfly adds. Same (pairs, ny) contract."""
+    a = [ar[:, m * s:m * (s + 1)] for s in range(4)]
+    v0 = a[0] + a[1] + a[2] + a[3]
+    v2 = a[0] - a[1] + a[2] - a[3]
+    d = jnp.concatenate([a[0] - a[2], a[1] - a[3]], axis=1)
+    (p0,) = dots(v0, e0)
+    (p2,) = dots(v2, e2)
+    p1, p3 = dots(d, g1, g3)
+    ny = jnp.sum(v0.astype(_F32) * pm1f, axis=1)
+    return [p0, p1, p2, p3], ny
+
+
+def _ct_inv_real_half_folded(groups, k02, k1, k3, dots, r, m):
+    """Inverse of :func:`_ct_fwd_real_half_folded`. Digits 0/2 emit ONLY
+    the real outputs the keep-real butterfly uses (8 -> 6 r*m^2 MACs vs
+    :func:`_ct_inv_real_half`); the k = 0 Hermitian half-weight is folded
+    into k02[0], the conj twiddles into every factor."""
+    (zr0,) = dots(groups[0], k02[0])
+    (zr2,) = dots(groups[2], k02[1])
+    (Z1,) = dots(groups[1], k1)
+    (Z3,) = dots(groups[3], k3)
+    zr1, zi1 = Z1[:, :m], Z1[:, m:]
+    zr3, zi3 = Z3[:, :m], Z3[:, m:]
+    return jnp.concatenate(
+        [zr0 + zr1 + zr2 + zr3,
+         zr0 - zi1 - zr2 + zi3,
+         zr0 - zr1 + zr2 - zr3,
+         zr0 + zi1 - zr2 - zi3], axis=1)
+
+
 def _dense_h_fwd(ar, ai, h_cs, dots, r, h):
     z = jnp.concatenate([ar.astype(_BF16), ai.astype(_BF16)], axis=0)
     (AB,) = dots(z, h_cs)
@@ -638,7 +819,7 @@ def _dense_h_inv(xr, xi, h_cs, dots, r, h):
 
 @partial(jax.jit, static_argnames=("h", "kp", "tc", "precision", "use_ct",
                                    "interpret"))
-def _stage_b_call(z, mix_pack, bias_col, f_cs, twc, tws,
+def _stage_b_call(z, mix_pack, bias_col, h1, h2,
                   h, kp, tc, precision, use_ct, interpret):
     """H-axis forward DFT + spectral channel mix (ReLU'd [Re;Im] 1x1 conv,
     reference arch/Ours/networks.py:24-29) + inverse H DFT, one kernel per
@@ -655,13 +836,13 @@ def _stage_b_call(z, mix_pack, bias_col, f_cs, twc, tws,
     dots_l = _make_dots_left(precision)
     n_chunk = kp // tc
 
-    def kern(zr_ref, zi_ref, f_r, twc_r, tws_r, mix_r, b_r, t_ref):
+    def kern(zr_ref, zi_ref, h1_r, h2_r, mix_r, b_r, t_ref):
         ar = zr_ref[0].reshape(r, h)
         ai = zi_ref[0].reshape(r, h)
         if use_ct:
-            xr, xi = _ct_fwd(ar, ai, f_r, twc_r[:], tws_r[:], dots, r, m)
+            xr, xi = _ct_fwd_folded(ar, ai, h1_r, dots, r, m)
         else:
-            xr, xi = _dense_h_fwd(ar, ai, f_r, dots, r, h)
+            xr, xi = _dense_h_fwd(ar, ai, h1_r, dots, r, h)
         # channel mix + ReLU on C-major rows: (R, H) -> (C, tc*H) stack
         s = jnp.concatenate(
             [xr.reshape(c, tc * h).astype(_BF16),
@@ -671,9 +852,9 @@ def _stage_b_call(z, mix_pack, bias_col, f_cs, twc, tws,
         xr = s[:c].reshape(r, h)
         xi = s[c:].reshape(r, h)
         if use_ct:
-            tr, ti = _ct_inv(xr, xi, f_r, twc_r[:], tws_r[:], dots, r, m)
+            tr, ti = _ct_inv_folded(xr, xi, h2_r, dots, r, m)
         else:
-            tr, ti = _dense_h_inv(xr, xi, f_r, dots, r, h)
+            tr, ti = _dense_h_inv(xr, xi, h1_r, dots, r, h)
         t_ref[0] = jnp.concatenate(
             [tr.reshape(c, tc, h), ti.reshape(c, tc, h)], axis=1
         ).astype(t_ref.dtype)
@@ -688,8 +869,7 @@ def _stage_b_call(z, mix_pack, bias_col, f_cs, twc, tws,
             grid=(n, n_chunk),
             in_specs=[
                 zb(0), zb(n_chunk),
-                _full_spec(f_cs.shape),
-                _full_spec(twc.shape), _full_spec(tws.shape),
+                _full_spec(h1.shape), _full_spec(h2.shape),
                 _full_spec(mix_pack.shape), _full_spec(bias_col.shape),
             ],
             out_specs=pl.BlockSpec((1, c, 2 * tc, h),
@@ -698,7 +878,7 @@ def _stage_b_call(z, mix_pack, bias_col, f_cs, twc, tws,
         ),
         compiler_params=_vmem(110, interpret),
         interpret=interpret,
-    )(z, z, f_cs, twc, tws, mix_pack, bias_col)
+    )(z, z, h1, h2, mix_pack, bias_col)
 
 
 @partial(jax.jit, static_argnames=("h", "w", "precision", "out_dtype_name",
@@ -749,7 +929,7 @@ def _stage_c_call(t, inv_p, res, h, w, precision, out_dtype_name, interpret):
 @partial(jax.jit, static_argnames=("h", "w", "kp", "tc", "precision",
                                    "use_ct", "use_ct_w", "has_pre",
                                    "has_skip", "has_post", "interpret", "pw"))
-def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
+def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, h1, h2,
                       inv_p, wt, pre_km, pre_kb, skip, post_km, post_kb, img,
                       h, w, kp, tc, precision, use_ct, use_ct_w, has_pre,
                       has_skip, has_post, interpret, pw):
@@ -809,12 +989,12 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
 
     def kern(*refs):
         x_any = refs[0]
-        km_r, kb_r, mix_r, mb_r, fcs_r, twc_r, tws_r = refs[1:8]
-        idx = 8
+        km_r, kb_r, mix_r, mb_r, h1_r, h2_r = refs[1:7]
+        idx = 7
         if use_ct_w:
-            (ffw1_r, ffw2_r, finvw_r, twcw_r, twsw_r, half0_r,
-             pm1f_r, pm1i_r) = refs[idx:idx + 8]
-            idx += 8
+            (e0w_r, e2w_r, g1w_r, g3w_r, k02w_r, k1w_r, k3w_r,
+             pm1f_r, pm1i_r) = refs[idx:idx + 9]
+            idx += 9
             f_r = inv_r = None
         else:
             f_r, inv_r = refs[idx:idx + 2]
@@ -977,8 +1157,8 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
 
             xs = mid.reshape(c * tha, w)
             if use_ct_w:
-                pairs, ny = _ct_fwd_real_half(
-                    xs, ffw1_r, ffw2_r, twcw_r[:], twsw_r[:], dots,
+                pairs, ny = _ct_fwd_real_half_folded(
+                    xs, e0w_r, e2w_r, g1w_r, g3w_r, dots,
                     c * tha, m_w, pm1f_r[:])
                 for u in range(4):
                     zscr[:, 2 * tc * u:2 * tc * (u + 1), pl.ds(h0, tha)] = (
@@ -1004,10 +1184,9 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
                 ar = zscr[:, pl.ds(k0, tc), :].reshape(r, h)
                 ai = zscr[:, pl.ds(kp + k0, tc), :].reshape(r, h)
             if use_ct:
-                xr, xi = _ct_fwd(ar, ai, fcs_r, twc_r[:], tws_r[:],
-                                 dots, r, m)
+                xr, xi = _ct_fwd_folded(ar, ai, h1_r, dots, r, m)
             else:
-                xr, xi = _dense_h_fwd(ar, ai, fcs_r, dots, r, h)
+                xr, xi = _dense_h_fwd(ar, ai, h1_r, dots, r, h)
             if need_fold:
                 xr3 = xr.reshape(c, tc, h)
                 xi3 = xi.reshape(c, tc, h)
@@ -1029,10 +1208,9 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
                 xr = s[:c].reshape(r, h)
                 xi = s[c:].reshape(r, h)
             if use_ct:
-                tr, ti = _ct_inv(xr, xi, fcs_r, twc_r[:], tws_r[:],
-                                 dots, r, m)
+                tr, ti = _ct_inv_folded(xr, xi, h2_r, dots, r, m)
             else:
-                tr, ti = _dense_h_inv(xr, xi, fcs_r, dots, r, h)
+                tr, ti = _dense_h_inv(xr, xi, h1_r, dots, r, h)
             tscr[:, pl.ds(2 * k0, tc), :] = (
                 tr.reshape(c, tc, h).astype(tscr.dtype))
             tscr[:, pl.ds(2 * k0 + tc, tc), :] = (
@@ -1048,19 +1226,17 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
             ar = zny[:].astype(_BF16)
             ai = jnp.zeros((c, h), _BF16)
             if use_ct:
-                xr, xi = _ct_fwd(ar, ai, fcs_r, twc_r[:], tws_r[:],
-                                 dots, c, m)
+                xr, xi = _ct_fwd_folded(ar, ai, h1_r, dots, c, m)
             else:
-                xr, xi = _dense_h_fwd(ar, ai, fcs_r, dots, c, h)
+                xr, xi = _dense_h_fwd(ar, ai, h1_r, dots, c, h)
             s = jnp.concatenate(
                 [xr.astype(_BF16), xi.astype(_BF16)], axis=0)
             s = jnp.maximum(dots_l(mix_r, s) + mb_r[:], 0.0)
             xr, xi = s[:c], s[c:]
             if use_ct:
-                tr, _ = _ct_inv(xr, xi, fcs_r, twc_r[:], tws_r[:],
-                                dots, c, m)
+                tr, _ = _ct_inv_folded(xr, xi, h2_r, dots, c, m)
             else:
-                tr, _ = _dense_h_inv(xr, xi, fcs_r, dots, c, h)
+                tr, _ = _dense_h_inv(xr, xi, h1_r, dots, c, h)
             # the imaginary part cannot reach the output: the W-inverse row
             # for k = w/2 is sin(pi n) = 0 (ops/dft.py _irdft_w_factors)
             tny[:] = tr
@@ -1074,9 +1250,9 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
                     g = tscr[:, pl.ds(2 * tc * u, 2 * tc), pl.ds(h0, tha)]
                     groups.append(
                         g.transpose(0, 2, 1).reshape(c * tha, 2 * tc))
-                out = _ct_inv_real_half(
-                    groups, finvw_r, twcw_r[:], twsw_r[:], dots,
-                    c * tha, m_w, half0_r[:])           # (C*tha, W) f32
+                out = _ct_inv_real_half_folded(
+                    groups, k02w_r, k1w_r, k3w_r, dots,
+                    c * tha, m_w)                       # (C*tha, W) f32
                 out3 = out.reshape(c, tha, w)
                 ny_c = tny[:, pl.ds(h0, tha)].astype(_F32)
                 out3 = out3 + ny_c[:, :, None] * pm1i_r[:][None]
@@ -1131,10 +1307,9 @@ def _block_fused_call(x, km_pack, kb, fwd_p, mix_pack, mb, f_cs, twc, tws,
         pl.BlockSpec(memory_space=pl.ANY),
         _full_spec(km_pack.shape), _full_spec(kb.shape),
         _full_spec(mix_pack.shape), _full_spec(mb.shape),
-        _full_spec(f_cs.shape),
-        _full_spec(twc.shape), _full_spec(tws.shape),
+        _full_spec(h1.shape), _full_spec(h2.shape),
     ]
-    operands = [x, km_pack, kb.astype(_F32), mix_pack, mb, f_cs, twc, tws]
+    operands = [x, km_pack, kb.astype(_F32), mix_pack, mb, h1, h2]
     if use_ct_w:
         in_specs += [_full_spec(t.shape) for t in wt]
         operands += list(wt)
@@ -1211,7 +1386,7 @@ def _spectral_tables(h, w, precision, pw=None, use_ct_w=None,
         m_w = w // 4
         kp = 2 * m_w           # 4 digit groups x mt = m/2 entries
         tc = m_w // 2          # one digit group per stage-B chunk
-        wt = tuple(jnp.asarray(t) for t in _w_ct_tables_np(w, precision))
+        wt = tuple(jnp.asarray(t) for t in _w_ct_folded_np(w, precision))
         fwd_p = inv_p = None
     elif packed:
         assert w == 2 * pw, (w, pw)  # packed pairs
@@ -1232,12 +1407,13 @@ def _spectral_tables(h, w, precision, pw=None, use_ct_w=None,
     use_ct = (h % 4 == 0 and (h // 4) % 8 == 0
               and (interpret or (h // 4) % 128 == 0))
     if use_ct:
-        f_cs, twc, tws = _h_ct_tables_np(h, precision)
+        # twiddle-folded per-digit factor stacks (h1 = forward, h2 = inverse)
+        h1, h2 = _h_ct_folded_np(h, precision)
     else:
-        f_cs = _h_dense_tables_np(h, precision)
-        twc = tws = np.zeros((4, 1), np.float32)
-    return (kp, tc, use_ct, use_ct_w, fwd_p, inv_p, wt, jnp.asarray(f_cs),
-            jnp.asarray(twc), jnp.asarray(tws))
+        h1 = _h_dense_tables_np(h, precision)
+        h2 = np.zeros((1, 1), np.float32)
+    return (kp, tc, use_ct, use_ct_w, fwd_p, inv_p, wt, jnp.asarray(h1),
+            jnp.asarray(h2))
 
 
 def fft_block_nchw(x, img_kmat_pack, img_bias, mix_pack, bias_col,
@@ -1255,14 +1431,14 @@ def fft_block_nchw(x, img_kmat_pack, img_bias, mix_pack, bias_col,
     optionally skip), the fused kernel also computes the LAYER conv
     feeding the block: x <- relu(pre_conv(x) + pre_b [+ skip]).
     """
-    (kp, tc, use_ct, use_ct_w, fwd_p, inv_p, wt, f_cs, twc, tws) = (
+    (kp, tc, use_ct, use_ct_w, fwd_p, inv_p, wt, h1, h2) = (
         _spectral_tables(h, w, precision, pw=pw,
                          use_ct_w=use_ct_w if fused else False,
                          interpret=interpret))
     if fused:
         return _block_fused_call(
             x, img_kmat_pack, img_bias, fwd_p, mix_pack, bias_col,
-            f_cs, twc, tws, inv_p, wt, pre_kmat_pack, pre_bias, skip,
+            h1, h2, inv_p, wt, pre_kmat_pack, pre_bias, skip,
             post_kmat_pack, post_bias, post_img,
             h, w, kp, tc, precision, use_ct, use_ct_w,
             pre_kmat_pack is not None, skip is not None,
@@ -1275,7 +1451,7 @@ def fft_block_nchw(x, img_kmat_pack, img_bias, mix_pack, bias_col,
                   interpret=interpret, pw=pw)
     z = _stage_a_call(x, fwd_p, h, w, kp, precision,
                       jnp.dtype(bound_dtype).name, interpret)
-    t = _stage_b_call(z, mix_pack, bias_col, f_cs, twc, tws,
+    t = _stage_b_call(z, mix_pack, bias_col, h1, h2,
                       h, kp, tc, precision, use_ct, interpret)
     return _stage_c_call(t, inv_p, res, h, w, precision,
                          jnp.dtype(x.dtype).name, interpret)

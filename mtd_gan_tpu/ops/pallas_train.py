@@ -421,7 +421,7 @@ def _make_block_train(h, w, pw, kp, tc, c, c_in, precision, conv_precision,
         km_p, mix_p, pre_p, post_p = _packs(wts)
         return _block_fused_call(
             x, km_p, wts["kb"], jnp.asarray(f_np), mix_p, wts["mb"],
-            jnp.asarray(hcs_np), jnp.asarray(twc0), jnp.asarray(twc0),
+            jnp.asarray(hcs_np), jnp.asarray(twc0),
             jnp.asarray(inv_np), None,
             pre_p, wts["pkb"] if has_pre else None, skip,
             post_p, wts["postkb"] if has_post else None, img,
