@@ -31,6 +31,7 @@ from mtd_gan_tpu import losses
 from mtd_gan_tpu.models.base import GANVariables
 from mtd_gan_tpu.ops.filters import sobel_magnitude
 from mtd_gan_tpu.ops.layers import Conv, ConvTranspose, Dense, normal_init
+from mtd_gan_tpu.ops.upsample import upsample2x_bilinear
 
 Array = jax.Array
 _INIT = normal_init(0.01)
@@ -139,8 +140,9 @@ class UNetDiscriminator(nn.Module):
         u = bottom
         for j, (cout_pair, cin_pair) in enumerate(pairs[:-1][::-1]):
             # UpBlock(channel_in = cin_pair*2, out = cout_pair)
-            n_, h_, w_, c_ = u.shape
-            u = jax.image.resize(u, (n_, h_ * 2, w_ * 2, c_), method="bilinear")
+            # exact shift-add equivalent of jax.image.resize 2x bilinear
+            # (gather/scatter-free VJP; see ops/upsample.py)
+            u = upsample2x_bilinear(u)
             skip = residuals[:-1][::-1][j]
             cat = jnp.concatenate([u, skip], axis=-1)
             p = _DoubleConv(cout_pair, dtype=self.dtype, name=f"up{j}_net")(

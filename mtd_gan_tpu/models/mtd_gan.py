@@ -37,6 +37,7 @@ from mtd_gan_tpu.models.base import GANVariables
 from mtd_gan_tpu.ops.fft_conv import FFTConvBlock
 from mtd_gan_tpu.ops.layers import Conv, ConvTranspose, Dense, normal_init
 from mtd_gan_tpu.ops.pixel_shuffle import PixelShuffleUpsample
+from mtd_gan_tpu.ops.upsample import upsample2x_bilinear
 
 Array = jax.Array
 
@@ -163,10 +164,12 @@ class MultiTaskDiscriminator(nn.Module):
             seg_ch = [f * 8, f * 8, f * 4, f * 2, f, 1]
             s = x_bot
             for i, ch in enumerate(seg_ch, start=1):
-                n_, h_, w_, c_ = s.shape
-                s = jax.image.resize(s, (n_, h_ * 2, w_ * 2, c_), method="bilinear")
-                s = jnp.concatenate([s, skips[6 - i]], axis=-1)
-                s = lrelu(sn_conv(ch, f"s_dconv{i}1")(s, update_stats))
+                # exact 2x-bilinear + concat-free skip conv: same math as
+                # jax.image.resize + jnp.concatenate, but gather/scatter-
+                # and split-free in the 3x-per-step PCGrad backward
+                s = upsample2x_bilinear(s)
+                s = lrelu(sn_conv(ch, f"s_dconv{i}1")(
+                    (s, skips[6 - i]), update_stats))
                 s = lrelu(sn_conv(ch, f"s_dconv{i}2")(s, update_stats))
             outputs.append(Conv(1, kernel_size=(1, 1), padding=0, kernel_init=_INIT,
                                 dtype=self.dtype, name="dec_out")(s))
@@ -179,8 +182,8 @@ class MultiTaskDiscriminator(nn.Module):
                 r = PixelShuffleUpsample(
                     r.shape[-1], scale=2, kernel_init=_INIT, name=f"r_up{i}"
                 )(r)
-                r = jnp.concatenate([r, skips[6 - i]], axis=-1)
-                r = lrelu(sn_conv(ch, f"r_dconv{i}1")(r, update_stats))
+                r = lrelu(sn_conv(ch, f"r_dconv{i}1")(
+                    (r, skips[6 - i]), update_stats))
                 r = lrelu(sn_conv(ch, f"r_dconv{i}2")(r, update_stats))
             outputs.append(Conv(1, kernel_size=(1, 1), padding=0, kernel_init=_INIT,
                                 dtype=self.dtype, name="rec_out")(r))

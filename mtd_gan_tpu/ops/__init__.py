@@ -10,6 +10,7 @@ from mtd_gan_tpu.ops.layers import (
 )
 from mtd_gan_tpu.ops.fft_conv import FFTConvBlock, fft_conv_block
 from mtd_gan_tpu.ops.pixel_shuffle import pixel_shuffle, PixelShuffleUpsample
+from mtd_gan_tpu.ops.upsample import upsample2x_bilinear
 from mtd_gan_tpu.ops.filters import (
     binomial5_kernel,
     gaussian_window,
@@ -28,6 +29,7 @@ __all__ = [
     "fft_conv_block",
     "pixel_shuffle",
     "PixelShuffleUpsample",
+    "upsample2x_bilinear",
     "binomial5_kernel",
     "gaussian_window",
     "gauss_blur5",

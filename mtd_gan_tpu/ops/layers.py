@@ -20,6 +20,7 @@ from typing import Callable, Sequence
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
 
 Array = jax.Array
 
@@ -100,9 +101,19 @@ class Conv(nn.Module, _SpectralMixin):
     #                           + U(-1/sqrt(fan_in), .) bias
 
     @nn.compact
-    def __call__(self, x: Array, update_stats: bool = True) -> Array:
+    def __call__(self, x, update_stats: bool = True) -> Array:
+        # A tuple input (a, b, ...) means conv(concat(parts, axis=-1)):
+        # same params and math, but computed as a sum of per-part convs on
+        # kernel channel slices. Skipping the materialized concat removes
+        # its VJP — a bandwidth-bound split + relayout that measured
+        # ~15 ms/step in the MTD-GAN discriminator backward (U-Net skip
+        # concats at batch 320; see PERF.md round 4).
+        parts = x if isinstance(x, (tuple, list)) else (x,)
         kh, kw = self.kernel_size
-        in_ch = x.shape[-1] // self.feature_group_count
+        total_ch = sum(p.shape[-1] for p in parts)
+        if len(parts) > 1:
+            assert self.feature_group_count == 1, "tuple input needs fgc=1"
+        in_ch = total_ch // self.feature_group_count
         kernel_init = self.kernel_init
         bias_init = self.bias_init
         if self.torch_init:
@@ -121,15 +132,26 @@ class Conv(nn.Module, _SpectralMixin):
         else:
             pad = self.padding
 
-        dtype = self.dtype or x.dtype
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=tuple(self.strides),
-            padding=pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.feature_group_count,
-        )
+        dtype = self.dtype or parts[0].dtype
+
+        def _conv(inp, ker):
+            return jax.lax.conv_general_dilated(
+                inp.astype(dtype),
+                ker.astype(dtype),
+                window_strides=tuple(self.strides),
+                padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.feature_group_count,
+            )
+
+        if len(parts) == 1:
+            y = _conv(parts[0], kernel)
+        else:
+            y, c0 = None, 0
+            for p in parts:
+                ker = lax.slice_in_dim(kernel, c0, c0 + p.shape[-1], axis=2)
+                c0 += p.shape[-1]
+                y = _conv(p, ker) if y is None else y + _conv(p, ker)
         if self.use_bias:
             bias = self.param("bias", bias_init, (self.features,), jnp.float32)
             y = y + bias.astype(dtype)
