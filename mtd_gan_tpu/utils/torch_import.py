@@ -352,18 +352,26 @@ def convert_resfft_generator(sd, prefix="Generator", num_layers=10) -> dict:
     return params
 
 
-def convert_mtd_discriminator(sd, prefix="Discriminator") -> Tuple[dict, dict]:
-    """Multi_Task_Discriminator_Skip (arch/Ours/networks.py:177-474):
-    flat-named SN convs + three decoders. Returns (params, spectral)."""
+def convert_mtd_discriminator(sd, prefix="Discriminator",
+                              heads=("cls", "seg", "rec")) -> Tuple[dict, dict]:
+    """Multi_Task_Discriminator_Skip (arch/Ours/networks.py:177-474) and the
+    five head-subset partial discriminators the ablations use (:507-1320 —
+    the same flat naming with fewer decoders). Returns (params, spectral).
+
+    Naming quirk: the pure SEG_Discriminator alone calls its decoder convs
+    ``dconv{i}{j}`` (:611-764); every multi-head variant prefixes them
+    ``s_dconv`` — auto-detected from the state dict. SEG_Discriminator also
+    declares an ``enc_out`` Linear its forward never uses (:695); dead keys
+    are simply not read (our heads-gated module has no such param)."""
     p = f"{prefix}." if prefix else ""
     params: dict = {}
     spectral: dict = {}
 
-    def grab(name, kind=conv):
-        params[name] = kind(sd, f"{p}{name}")
-        u = sn_u(sd, f"{p}{name}")
+    def grab(ref_name, kind=conv, ours=None):
+        params[ours or ref_name] = kind(sd, f"{p}{ref_name}")
+        u = sn_u(sd, f"{p}{ref_name}")
         if u is not None:
-            spectral[name] = u
+            spectral[ours or ref_name] = u
 
     for i in range(1, 7):
         grab(f"conv{i}1")
@@ -371,16 +379,22 @@ def convert_mtd_discriminator(sd, prefix="Discriminator") -> Tuple[dict, dict]:
         grab(f"down{i}")
     grab("bconv1")
     grab("bconv2")
-    grab("c_fc", kind=dense)
-    for i in range(1, 7):
-        grab(f"s_dconv{i}1")
-        grab(f"s_dconv{i}2")
-        params[f"r_up{i}"] = {"proj": conv(sd, f"{p}r_up{i}.upsample.0")}
-        grab(f"r_dconv{i}1")
-        grab(f"r_dconv{i}2")
-    params["enc_out"] = dense(sd, f"{p}enc_out")
-    params["dec_out"] = conv(sd, f"{p}dec_out")
-    params["rec_out"] = conv(sd, f"{p}rec_out")
+    if "cls" in heads:
+        grab("c_fc", kind=dense)
+        params["enc_out"] = dense(sd, f"{p}enc_out")
+    if "seg" in heads:
+        sp = "s_" if (f"{p}s_dconv11.weight_orig" in sd
+                      or f"{p}s_dconv11.weight" in sd) else ""
+        for i in range(1, 7):
+            grab(f"{sp}dconv{i}1", ours=f"s_dconv{i}1")
+            grab(f"{sp}dconv{i}2", ours=f"s_dconv{i}2")
+        params["dec_out"] = conv(sd, f"{p}dec_out")
+    if "rec" in heads:
+        for i in range(1, 7):
+            params[f"r_up{i}"] = {"proj": conv(sd, f"{p}r_up{i}.upsample.0")}
+            grab(f"r_dconv{i}1")
+            grab(f"r_dconv{i}2")
+        params["rec_out"] = conv(sd, f"{p}rec_out")
     return params, spectral
 
 
@@ -393,9 +407,29 @@ def convert_mtd_gan(sd, num_layers=10) -> dict:
     }
 
 
+def convert_ablation(sd, heads, resfft=False, num_layers=10) -> dict:
+    """The 10 MTD-GAN ablations (arch/Ours/networks.py:1324-1936): a
+    REDCNN_Generator (32ch/k3/p1 — :478-505, the ModuleList layout shared
+    with DU-GAN's generator) or, for the final variant, the ResFFT
+    generator, plus a head-subset discriminator."""
+    if resfft:
+        params_g = convert_resfft_generator(sd, "Generator", num_layers)
+    else:
+        params_g = convert_dugan_generator(sd, "Generator", num_layers)
+    params_d, spectral = convert_mtd_discriminator(
+        sd, "Discriminator", heads=heads)
+    return {"params_g": params_g, "params_d": params_d, "state_d": spectral}
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
+
+def _ablation_converter(heads, resfft=False):
+    from functools import partial
+
+    return partial(convert_ablation, heads=heads, resfft=resfft)
+
 
 CONVERTERS = {
     "RED_CNN": convert_red_cnn,
@@ -406,6 +440,19 @@ CONVERTERS = {
     "MAP_NN": convert_map_nn,
     "DU_GAN": convert_dugan,
     "MTD_GAN_Method": convert_mtd_gan,
+    # ablation recipes mirror models/ablations.py MODELS (NDS/RC change
+    # losses only, not parameters — same converter per head set)
+    "Ablation_CLS": _ablation_converter(("cls",)),
+    "Ablation_SEG": _ablation_converter(("seg",)),
+    "Ablation_CLS_SEG": _ablation_converter(("cls", "seg")),
+    "Ablation_CLS_REC": _ablation_converter(("cls", "rec")),
+    "Ablation_SEG_REC": _ablation_converter(("seg", "rec")),
+    "Ablation_CLS_SEG_REC": _ablation_converter(("cls", "seg", "rec")),
+    "Ablation_CLS_SEG_REC_NDS": _ablation_converter(("cls", "seg", "rec")),
+    "Ablation_CLS_SEG_REC_RC": _ablation_converter(("cls", "seg", "rec")),
+    "Ablation_CLS_SEG_REC_NDS_RC": _ablation_converter(("cls", "seg", "rec")),
+    "Ablation_CLS_SEG_REC_NDS_RC_ResFFT": _ablation_converter(
+        ("cls", "seg", "rec"), resfft=True),
 }
 
 

@@ -317,3 +317,64 @@ def test_mtd_gan_import_parity(ref, rng):
                                rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_rec), _nhwc(want_rec),
                                rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# ablation family: one test per structural variant of the partial
+# discriminators (arch/Ours/networks.py:507-1320) + the ResFFT generator
+# swap of the final variant (:1867-1936)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", [
+    "Ablation_CLS",        # CLS_Discriminator: c_fc/enc_out only
+    "Ablation_SEG",        # SEG_Discriminator: 'dconv' (no s_) naming,
+    #                        dead enc_out param, paramless bilinear ups
+    "Ablation_CLS_SEG",    # CLS_SEG_Discriminator: s_dconv naming
+    "Ablation_CLS_REC",    # CLS_REC_Discriminator: r_up UpsampleBlocks
+    "Ablation_SEG_REC",    # SEG_REC_Discriminator: no CLS head at all
+    "Ablation_CLS_SEG_REC_NDS_RC_ResFFT",  # full D + ResFFT generator
+])
+def test_ablation_import_parity(ref, rng, name):
+    """convert_ablation: fabricate a checkpoint from the ACTUAL reference
+    ablation wrapper, import, and pin G forward + every D head output."""
+    from tools.import_torch_checkpoint import _check_against_template
+    from mtd_gan_tpu.models import get_model
+
+    torch.manual_seed(3)
+    model_t = getattr(ref.ours, name)()
+    model_t.train()
+    with torch.no_grad():
+        for _ in range(30):  # converge SN u (see torch_import docstring)
+            model_t.Discriminator(torch.zeros(1, 1, 64, 64))
+    model_t.eval()
+
+    converted = torch_import.convert_state_dict(name, model_t.state_dict())
+    model_j = get_model(name)
+    gv = model_j.init(jax.random.PRNGKey(0))
+    _check_against_template(converted["params_g"], gv.params_g, "params_g")
+    _check_against_template(converted["params_d"], gv.params_d, "params_d")
+    _check_against_template(converted["state_d"], gv.state_d, "state_d")
+
+    x = jax.random.uniform(rng, (1, 64, 64, 1), jnp.float32)
+    with torch.no_grad():
+        want_g = _nhwc(model_t.Generator(_nchw(x).float()))
+        want_d = model_t.Discriminator(_nchw(x).float())
+    if not isinstance(want_d, tuple):
+        want_d = (want_d,)
+
+    got_g = np.asarray(model_j.generate(converted["params_g"], x))
+    got_d, _ = jax.jit(
+        lambda p, sp, z: model_j.Discriminator.apply(
+            {"params": p, "spectral": sp}, z, train=False,
+            update_stats=False, mutable=["spectral"],
+        )
+    )(converted["params_d"], converted["state_d"], x)
+    if not isinstance(got_d, tuple):
+        got_d = (got_d,)
+
+    np.testing.assert_allclose(got_g, want_g, rtol=1e-3, atol=1e-4)
+    assert len(got_d) == len(want_d) == len(model_j.heads)
+    for got, want in zip(got_d, want_d):
+        want = _nhwc(want) if want.dim() == 4 else want.numpy()
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=2e-3, atol=2e-4)

@@ -17,9 +17,10 @@ trainer state (optimizer state starts at zero, like the reference's own
         --data-root /path/to/mayo --save-dir predictions/imported
 
 Covered: MTD_GAN_Method, RED_CNN, EDCNN, Restormer, CTformer, WGAN_VGG,
-MAP_NN, DU_GAN (tests/test_torch_import.py pins forward parity against the
-actual reference modules). Diffusion checkpoints are not importable (no
-public pretrained checkpoints exist for the vendored MONAI UNet).
+MAP_NN, DU_GAN, and all 10 Ablation_* variants (tests/test_torch_import.py
+pins forward parity against the actual reference modules). Diffusion
+checkpoints are not importable (no public pretrained checkpoints exist for
+the vendored MONAI UNet).
 """
 
 from __future__ import annotations
