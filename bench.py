@@ -72,7 +72,10 @@ def main():
     t_start = time.perf_counter()
     best, attempts, min_failed_batch = 0.0, 0, None
     warmups, last_err = [], None
-    for batch in (64, 128, 32, 16, 8, 4):
+    # 128 probes the HBM headroom LAST: measured on v5e it fails to compile
+    # (the 4.3 GB bf16 block boundaries exceed HBM), so it must never sit
+    # between the budget clock and the known-good sizes
+    for batch in (64, 32, 16, 8, 4, 128):
         # a bigger batch than one that already failed is guaranteed to fail
         # too — don't burn ~3 min of cold compile on it (ADVICE r3)
         if min_failed_batch is not None and batch >= min_failed_batch:
