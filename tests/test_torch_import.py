@@ -378,3 +378,24 @@ def test_ablation_import_parity(ref, rng, name):
         want = _nhwc(want) if want.dim() == 4 else want.numpy()
         np.testing.assert_allclose(np.asarray(got), want,
                                    rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("name", sorted(
+    n for n in torch_import.CONVERTERS if n.startswith("Ablation_")))
+def test_ablation_converter_completeness(ref, name):
+    """Every Ablation_* CONVERTERS entry converts the ACTUAL reference
+    wrapper's state dict and matches the flax init template — no forward.
+    The structural guard ADVICE r4 asked for: the four loss-only variants
+    (CLS_SEG_REC/_NDS/_RC/_NDS_RC) share one converter, so a typo in their
+    dispatch-table entries was previously invisible to the parity tests."""
+    from tools.import_torch_checkpoint import _check_against_template
+    from mtd_gan_tpu.models import get_model
+
+    torch.manual_seed(3)
+    model_t = getattr(ref.ours, name)()
+    converted = torch_import.convert_state_dict(name, model_t.state_dict())
+    model_j = get_model(name)
+    gv = model_j.init(jax.random.PRNGKey(0))
+    _check_against_template(converted["params_g"], gv.params_g, "params_g")
+    _check_against_template(converted["params_d"], gv.params_d, "params_d")
+    _check_against_template(converted["state_d"], gv.state_d, "state_d")
