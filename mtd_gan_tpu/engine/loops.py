@@ -131,8 +131,16 @@ def train_one_epoch(trainer, state, loader, preprocess, rng, epoch: int,
     return state, logger.global_averages(), rng
 
 
-def _predictor_for(model, state, family: str, rng=None):
-    """Full-image prediction function per family."""
+def _predictor_for(model, state, family: str, rng=None,
+                   dn_per_item_keys: bool = False):
+    """Full-image prediction function per family.
+
+    dn_per_item_keys=True (run_test only): a diffusion predictor called on
+    a GROUP of slices gives slice i its own fold_in key — the key index is
+    the slice's global sweep position, so every real slice's trajectory is
+    bit-identical to the batch-1 sweep (reference engine.py:860-866 draws
+    fresh noise per slice). validate() keeps the per-CALL key semantics:
+    its sliding-window inner batches share one key per call by design."""
     if family in ("cnn",):
         params = state.params
         return jax.jit(lambda z: model.apply(params, z))
@@ -156,9 +164,14 @@ def _predictor_for(model, state, family: str, rng=None):
         calls = [0]
 
         def _sample(z):
-            r = jax.random.fold_in(base, calls[0])
+            idx = calls[0]
+            if dn_per_item_keys and z.shape[0] > 1:
+                calls[0] += z.shape[0]
+                rngs = jnp.stack([jax.random.fold_in(base, idx + i)
+                                  for i in range(z.shape[0])])
+                return model.sample_batched(params, rngs, z)
             calls[0] += 1
-            return model.sample(params, r, z)
+            return model.sample(params, jax.random.fold_in(base, idx), z)
 
         return _sample
     raise KeyError(family)
@@ -211,7 +224,8 @@ def run_test(model, state, loader, eval_preprocess, family: str,
     from mtd_gan_tpu.metrics import fid as fid_lib
     from mtd_gan_tpu.metrics import perceptual as perc
 
-    predictor = _predictor_for(model, state, family, rng)
+    predictor = _predictor_for(model, state, family, rng,
+                               dn_per_item_keys=True)
     rows = []
     feats = {"input": [], "gt": [], "pred": []}
     os.makedirs(save_dir, exist_ok=True)
@@ -283,9 +297,12 @@ def run_test(model, state, loader, eval_preprocess, family: str,
     # rows stay strictly per-item (reference engine.py:107-183 semantics).
     # The final short group is padded by repeating its last item (padded
     # outputs dropped) so the sweep compiles exactly ONE predictor shape.
-    # tr (sliding window) and dn (diffusion sampling, stateful per-call
-    # RNG) keep per-item calls: their inner loops batch internally.
-    group_n = eval_batch if family not in ("tr", "dn") else 1
+    # tr (sliding window) keeps per-item calls: its inner loop batches
+    # internally. dn joined the grouped path in round 5: the reverse chain
+    # is vmapped over the group with per-slice fold_in keys
+    # (sample_batched), keeping every slice's trajectory bit-identical to
+    # the batch-1 sweep (VERDICT r4 item 4).
+    group_n = eval_batch if family != "tr" else 1
 
     def _grouped(it):
         buf = []

@@ -106,6 +106,65 @@ class _DiffusionBase:
             self.n_inference_steps, segment_len=segment_len,
         )
 
+    # -- batched per-slice-keyed sampling (round 5) -----------------------
+
+    def sample_batched(self, params, rngs, condition: Array,
+                       segment_len: int | None = None) -> Array:
+        """Batch the reverse chain over test slices at IDENTICAL per-slice
+        math (VERDICT r4 item 4).
+
+        condition: (B, H, W, 1); rngs: (B,) stacked PRNG keys. Slice i's
+        trajectory is bit-equal to ``sample(params, rngs[i],
+        condition[i:i+1])``: the whole chain is vmapped over the slice
+        axis with each mapped element keeping its (1, H, W, 1) shape and
+        its own key, so every noise draw and scan carry matches the
+        batch-1 path (test-pinned, tests/test_diffusion.py). The reference
+        samples batch-1 per test slice (engine.py:860-866); on TPU the
+        chain batches trivially and the sweep cost drops ~B-fold."""
+        cond = condition[:, None]  # (B, 1, H, W, 1)
+        if segment_len is None:
+            work = self.n_inference_steps * condition.shape[1] * condition.shape[2]
+            if self.n_inference_steps >= 200 and work >= 200 * 256 * 256:
+                segment_len = 100
+        if not segment_len:
+            out = self._sample_batched_one(params, rngs, cond)
+            return out[:, 0]
+        n = self.n_inference_steps
+        carry, xs = self._scan_init_batched(rngs, n, cond)
+        total = jax.tree_util.tree_leaves(xs)[0].shape[1]
+        for i in range(0, total, segment_len):
+            xs_seg = jax.tree_util.tree_map(
+                lambda a: a[:, i:i + segment_len], xs)
+            carry = self._seg_batched(params, carry, xs_seg, n, cond)
+            jax.block_until_ready(carry[0])
+        return carry[0][:, 0]
+
+    @partial(jax.jit, static_argnums=0)
+    def _sample_batched_one(self, params, rngs, cond):
+        def one(r, cnd):
+            noise = jax.random.normal(r, cnd.shape, cnd.dtype)
+            return self.scheduler.sample(
+                r, self._eps_fn(params, cnd), noise, self.n_inference_steps)
+
+        return jax.vmap(one)(rngs, cond)
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def _scan_init_batched(self, rngs, n, cond):
+        def one(r, cnd):
+            noise = jax.random.normal(r, cnd.shape, cnd.dtype)
+            return self.scheduler._scan_init(noise, r, n)
+
+        return jax.vmap(one)(rngs, cond)
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _seg_batched(self, params, carry, xs_seg, n, cond):
+        def one(c, x_seg, cnd):
+            body = self.scheduler._scan_body(self._eps_fn(params, cnd), n)
+            c2, _ = jax.lax.scan(body, c, x_seg)
+            return c2
+
+        return jax.vmap(one)(carry, xs_seg, cond)
+
     # engine-compat: forward == sample (reference networks.py:32-38)
     def apply(self, params, x, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)

@@ -197,3 +197,45 @@ def test_run_test_grouped_matches_per_slice(rng, np_rng, tmp_path):
                                                      rel=1e-5, abs=1e-6), k
     # no padded extras leaked into artifacts
     assert len(os.listdir(tmp_path / "b" / "png")) == 5
+
+
+def test_run_test_dn_grouped_matches_per_slice(rng, np_rng, tmp_path):
+    """Round 5: the diffusion family joins the grouped sweep — eval_batch>1
+    must produce the SAME per-slice csv rows as the batch-1 sweep (per-slice
+    fold_in keys ride the slice's global sweep position, so trajectories
+    are identical; reference engine.py:860-866 semantics preserved)."""
+    import csv
+
+    from mtd_gan_tpu.models.diffusion import DDIMModel
+
+    model = DDIMModel(channels=(8, 16, 16), num_head_channels=16,
+                      norm_groups=4)
+    model.n_inference_steps = 3
+
+    class _DNState:
+        params = model.init(jax.random.PRNGKey(0), (1, 64, 64, 1))
+
+    eval_pre = make_eval_preprocess("window", "mayo")
+
+    def loader():
+        for i in range(5):  # 5 % 3 != 0 -> padded tail
+            hu_x, hu_y = _hu_batch(np_rng2, n=1, size=64)
+            yield (hu_x, hu_y, [f"/fake/s{i}.IMA"])
+
+    rows = {}
+    for eb, sub in ((1, "a"), (3, "b")):
+        np_rng2 = np.random.default_rng(7)
+        run_test(model, _DNState(), loader(), eval_pre, "dn",
+                 save_dir=str(tmp_path / sub), compute_fid_metric=False,
+                 compute_feature_metrics=False, eval_batch=eb,
+                 rng=jax.random.PRNGKey(11))
+        with open(tmp_path / sub / "pred_results.csv") as f:
+            rows[sub] = list(csv.DictReader(f))
+
+    assert len(rows["a"]) == len(rows["b"]) == 5
+    for ra, rb in zip(rows["a"], rows["b"]):
+        assert ra["filename"] == rb["filename"]
+        for k in ra:
+            if k != "filename":
+                assert float(ra[k]) == pytest.approx(float(rb[k]),
+                                                     rel=1e-5, abs=1e-6), k
