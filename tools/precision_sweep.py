@@ -57,7 +57,7 @@ def _phantom(rng, n):
 
 
 def main():
-    from mtd_gan_tpu.models.mtd_gan import ResFFTGenerator
+    from mtd_gan_tpu.models.mtd_gan import MTDGANModel
     from mtd_gan_tpu.ops.pallas_pipeline import resfft_generator_nchw
 
     import __graft_entry__
@@ -69,7 +69,12 @@ def main():
         "sp:11111",
     ]
 
-    gen = ResFFTGenerator(**FLAGSHIP)
+    # identical construction to bench.py so the einsum init program and
+    # the bf16x2 pipeline kernels come warm from the persistent cache
+    model = MTDGANModel(gen_features=FLAGSHIP["features"],
+                        num_layers=FLAGSHIP["num_layers"],
+                        dtype=jnp.bfloat16)
+    gen = model.Generator
     rng = jax.random.PRNGKey(2024)
     params = jax.jit(gen.init)(
         rng, jnp.zeros((1, H, W, 1), jnp.float32))["params"]
