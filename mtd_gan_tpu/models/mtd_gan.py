@@ -287,9 +287,9 @@ class MTDGANModel:
             and x.shape[1] % 128 == 0
             and x.shape[2] % 128 == 0
         ):
-            from mtd_gan_tpu.ops.pallas_pipeline import resfft_generator_nchw
+            from mtd_gan_tpu.ops.pallas_pipeline import resfft_generator_jit
 
-            return resfft_generator_nchw(
+            return resfft_generator_jit(
                 params_g, x, num_layers=self.Generator.num_layers,
             )
         if (

@@ -1610,3 +1610,34 @@ def resfft_generator_nchw(params, x, num_layers: int = 10,
             0, 3, 2, 4, 1).reshape(n, h, w, 1).astype(x.dtype)
     return jnp.transpose(final.reshape(n, 1, h, w),
                          (0, 2, 3, 1)).astype(x.dtype)
+
+
+@lru_cache(maxsize=32)
+def _generator_jit(num_layers: int, precision: str, conv_precision: str,
+                   act_name: str, interpret: bool, pack: int,
+                   use_ct_w: Optional[bool]):
+    return jax.jit(partial(
+        resfft_generator_nchw, num_layers=num_layers, precision=precision,
+        conv_precision=conv_precision, act_dtype=jnp.dtype(act_name),
+        interpret=interpret, pack=pack, use_ct_w=use_ct_w))
+
+
+def resfft_generator_jit(params, x, num_layers: int = 10,
+                         precision: str = "bf16x2",
+                         conv_precision: str = "bf16",
+                         act_dtype=jnp.bfloat16,
+                         interpret: Optional[bool] = None,
+                         pack: int = 1, use_ct_w: Optional[bool] = None):
+    """resfft_generator_nchw behind a cached whole-program jit.
+
+    The eager form dispatches prep_generator_params' ~100 small packing ops
+    plus ~25 kernel calls through the runtime on EVERY call — measured
+    2.93 s/call at batch 4 through the r5 axon tunnel vs ~50 ms of device
+    time (host-dispatch-bound, PERF.md r5). One traced program removes the
+    per-call host work; params stay an argument so new checkpoints don't
+    retrace."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _generator_jit(num_layers, precision, conv_precision,
+                          jnp.dtype(act_dtype).name, interpret, pack,
+                          use_ct_w)(params, x)

@@ -58,7 +58,7 @@ def _phantom(rng, n):
 
 def main():
     from mtd_gan_tpu.models.mtd_gan import MTDGANModel
-    from mtd_gan_tpu.ops.pallas_pipeline import resfft_generator_nchw
+    from mtd_gan_tpu.ops.pallas_pipeline import resfft_generator_jit
 
     import __graft_entry__
     __graft_entry__._setup_cache()
@@ -81,8 +81,8 @@ def main():
     x = _phantom(jax.random.PRNGKey(7), BATCH)
 
     def run(spec):
-        return resfft_generator_nchw(params, x, num_layers=gen.num_layers,
-                                     precision=spec)
+        return resfft_generator_jit(params, x, num_layers=gen.num_layers,
+                                    precision=spec)
 
     results = []
     ref = None
