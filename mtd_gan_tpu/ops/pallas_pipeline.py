@@ -1526,7 +1526,7 @@ def prep_generator_params(params, num_layers: int, conv_precision: str = "bf16",
 
 
 def resfft_generator_nchw(params, x, num_layers: int = 10,
-                          precision: str = "bf16x2",
+                          precision: str = "bf16",
                           conv_precision: str = "bf16",
                           act_dtype=jnp.bfloat16,
                           interpret: Optional[bool] = None,
@@ -1623,7 +1623,7 @@ def _generator_jit(num_layers: int, precision: str, conv_precision: str,
 
 
 def resfft_generator_jit(params, x, num_layers: int = 10,
-                         precision: str = "bf16x2",
+                         precision: str = "bf16",
                          conv_precision: str = "bf16",
                          act_dtype=jnp.bfloat16,
                          interpret: Optional[bool] = None,
