@@ -63,6 +63,7 @@ class MTDGANTrainer:
         hoist: Optional[bool] = None,
         tp_axis: Optional[str] = None,
         g_forward: str = "auto",
+        g_precision: str = "bf16",
         **method_kwargs,
     ):
         self.model = model
@@ -145,6 +146,17 @@ class MTDGANTrainer:
         if g_forward not in ("auto", "einsum", "pallas_packed", "pallas"):
             raise ValueError(g_forward)
         self.g_forward = g_forward
+        # g_precision: spectral factor-table pass count for the FUSED Pallas
+        # training path ("bf16" = single-pass tables, "bf16x2" = hi/lo).
+        # Measured on chip at batch 160 (tools/precision_sweep_train.py,
+        # PERF.md): single-pass grads sit at the SAME worst-leaf error
+        # floor as bf16x2 vs the fp32 einsum oracle (2.8e-2 vs 3.0e-2 —
+        # the bf16 activation boundary dominates), the 4-step PCGrad
+        # trajectory is drift-free, and the step drops 354.3 -> 336.7 ms,
+        # so "bf16" is the default.
+        if g_precision not in ("bf16", "bf16x2"):
+            raise ValueError(g_precision)
+        self.g_precision = g_precision
         self.tx_g = optim_lib.get_optimizer(optimizer, lr, weight_decay)
         self.tx_d = optim_lib.get_optimizer(optimizer, lr, weight_decay)
         # second AdamW param group for learnable method params
@@ -462,6 +474,7 @@ class MTDGANTrainer:
                         gen_fn = lambda pg: resfft_generator_train(
                             pg, x,
                             num_layers=model.Generator.num_layers,
+                            precision=self.g_precision,
                         ).astype(out_dtype)
                 fake_raw, g_pull = jax.vjp(gen_fn, state.params_g)
                 state, d_losses, d_details = d_update(

@@ -81,6 +81,8 @@ def build_trainer(model_name: str, model, args, mesh=None):
             return MTDGANTrainer(model, method=method,
                                  tp_axis="model" if tp else None,
                                  g_forward=getattr(args, "g_forward", "auto"),
+                                 g_precision=getattr(args, "g_precision",
+                                                     "bf16"),
                                  **kw)
         if tp:
             raise ValueError("TensorParallel needs the full MTD_GAN_Method "

@@ -89,6 +89,42 @@ def test_train_path_bias_grads_accumulate_f32():
     assert rel < 0.2, rel  # bf16 boundaries; fp32-accumulated truth
 
 
+def test_train_path_single_pass_tables(fp32_setup):
+    """precision="bf16" (single-pass factor tables, the r5 budget's
+    candidate default) must stay at the same grad-error floor as bf16x2
+    vs the fp32 einsum oracle — the on-chip numbers live in PERF.md
+    (tools/precision_sweep_train.py); this pins the plumbing."""
+    model, params, x, y = fp32_setup
+
+    def loss(gen):
+        return lambda p: jnp.mean((gen(p) - y) ** 2)
+
+    ge = jax.jit(jax.grad(loss(
+        lambda p: model.Generator.apply({"params": p}, x))))(params)
+    gp = jax.jit(jax.grad(loss(
+        lambda p: resfft_generator_train(p, x, num_layers=L,
+                                         precision="bf16",
+                                         act_dtype=jnp.float32))))(params)
+    flat_p = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(gp)}
+    for kp_, ve in jax.tree_util.tree_leaves_with_path(ge):
+        ks = jax.tree_util.keystr(kp_)
+        ve = np.asarray(ve, np.float32)
+        vp = np.asarray(flat_p[ks], np.float32)
+        rel = np.abs(vp - ve).max() / (np.abs(ve).max() + 1e-8)
+        assert rel < 5e-2, f"{ks}: relerr {rel:.3e}"
+
+
+def test_trainer_g_precision_validated():
+    from mtd_gan_tpu.engine.gan import MTDGANTrainer
+
+    model = MTDGANModel(gen_features=8, disc_features=8, num_layers=2)
+    with pytest.raises(ValueError):
+        MTDGANTrainer(model, method="pcgrad", g_precision="sp:11111")
+    tr = MTDGANTrainer(model, method="pcgrad", g_precision="bf16")
+    assert tr.g_precision == "bf16"
+
+
 def test_pallas_train_step_matches_einsum():
     """g_forward="pallas": one full PCGrad step through the fused fwd+bwd
     kernels must track the einsum step's losses (bf16-forward tolerance)."""

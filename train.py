@@ -77,6 +77,12 @@ def get_args_parser():
                         "family: auto = fused Pallas kernels on TPU+bf16 "
                         "(369.8 vs 478.7 ms/step at batch 160), einsum "
                         "elsewhere")
+    p.add_argument("--g-precision", default="bf16", dest="g_precision",
+                   choices=["bf16", "bf16x2"],
+                   help="spectral factor-table MXU pass count for the fused "
+                        "Pallas training path (single-pass bf16 measured at "
+                        "the same grad-error floor as bf16x2 and -5%% "
+                        "step time — tools/precision_sweep_train.py)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute / fp32 master params (models with a "
                         "dtype arg; loss math stays fp32)")
