@@ -262,7 +262,8 @@ def spectral_weight_matrix(kernel: Array) -> Array:
     return kernel.T
 
 
-def advance_spectral_state(params, state, n_iters: int = 1):
+def advance_spectral_state(params, state, n_iters: int = 1,
+                           batched: bool = False):
     """Advance every spectral-norm u vector by `n_iters` power iterations
     directly on the weights — the iteration never touches activations
     (see _SpectralMixin), so it can run DECOUPLED from the forwards.
@@ -272,23 +273,73 @@ def advance_spectral_state(params, state, n_iters: int = 1):
     engine.py:26-76 / arch/Ours/networks.py:1957-1977); our pair-batched
     forwards advance it 2x. Calling this with n_iters=4 after a
     stats-frozen d_loss reproduces the 4x d_loss cadence regardless of
-    how the forwards are batched or microbatched."""
-    def walk(st, pr):
-        out = {}
+    how the forwards are batched or microbatched.
+
+    `batched=True` groups the ~44 layers' weight-matrix views by row
+    count, zero-pads each group's fan-in to the group max, and runs the
+    two matvecs of every iteration as ONE batched contraction per group
+    — ~16 dots/iteration instead of ~88. Zero-padding is EXACT: padded
+    columns contribute zero to both the products and the L2 norms.
+    Measured on chip (r5, tools/bench_step_budget.py): batched is
+    SLOWER — 30.3 vs 25.9 ms isolated, full step 341.4 vs 336.7 — the
+    (512, 9216)-padded group reads ~4x the real bytes and the stacking
+    copies cost more than the ~350 tiny matvecs' launch overhead, which
+    the TPU scheduler already hides. Per-layer stays the default;
+    batched is kept as the measured alternative (parity test-pinned)."""
+    # ---- collect (path, w_mat, u) for every SN layer -----------------------
+    entries = []
+
+    def collect(st, pr, path):
         for k, v in st.items():
             if isinstance(v, dict) and "u" in v and not isinstance(
                     v.get("u"), dict):
                 w_mat = spectral_weight_matrix(
                     jax.lax.stop_gradient(pr[k]["kernel"]))
-                u = v["u"]
-                for _ in range(n_iters):
-                    vv = _l2_normalize(w_mat.T @ u)
-                    u = _l2_normalize(w_mat @ vv)
-                out[k] = {**v, "u": u}
+                entries.append((path + (k,), w_mat, v["u"]))
             elif isinstance(v, dict):
-                out[k] = walk(v, pr[k])
+                collect(v, pr[k], path + (k,))
+
+    collect(dict(state), params, ())
+
+    new_u = {}
+    if batched and entries:
+        groups = {}
+        for path, w_mat, u in entries:
+            groups.setdefault(w_mat.shape[0], []).append((path, w_mat, u))
+        for rows, items in groups.items():
+            fmax = max(w.shape[1] for _, w, _ in items)
+            ws = jnp.stack([
+                jnp.pad(w, ((0, 0), (0, fmax - w.shape[1]))).astype(
+                    jnp.float32)
+                for _, w, _ in items])                       # (G, rows, fmax)
+            us = jnp.stack([u.astype(jnp.float32)
+                            for _, _, u in items])           # (G, rows)
+            eps = 1e-12
+            for _ in range(n_iters):
+                vv = jnp.einsum("goi,go->gi", ws, us)
+                vv = vv / (jnp.linalg.norm(vv, axis=-1, keepdims=True) + eps)
+                us = jnp.einsum("goi,gi->go", ws, vv)
+                us = us / (jnp.linalg.norm(us, axis=-1, keepdims=True) + eps)
+            for (path, _, u0), u1 in zip(items, us):
+                new_u[path] = u1.astype(u0.dtype)
+    else:
+        for path, w_mat, u in entries:
+            for _ in range(n_iters):
+                vv = _l2_normalize(w_mat.T @ u)
+                u = _l2_normalize(w_mat @ vv)
+            new_u[path] = u
+
+    # ---- rebuild the state tree with the advanced u vectors ----------------
+    def rebuild(st, path):
+        out = {}
+        for k, v in st.items():
+            if isinstance(v, dict) and "u" in v and not isinstance(
+                    v.get("u"), dict):
+                out[k] = {**v, "u": new_u[path + (k,)]}
+            elif isinstance(v, dict):
+                out[k] = rebuild(v, path + (k,))
             else:
                 out[k] = v
         return out
 
-    return walk(dict(state), params)
+    return rebuild(dict(state), ())

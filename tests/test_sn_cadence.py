@@ -97,6 +97,29 @@ def test_pair_batched_cadence_matches_four_forward():
         assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-2
 
 
+def test_batched_advance_matches_per_layer():
+    """advance_spectral_state(batched=True) — one padded-group contraction
+    per iteration instead of ~88 tiny matvecs (r5 step lever) — must match
+    the per-layer oracle path: zero-padding the fan-in is mathematically
+    exact for both the products and the L2 norms."""
+    from mtd_gan_tpu.ops.layers import advance_spectral_state
+
+    disc = MultiTaskDiscriminator(in_channels=1, features=8)
+    variables = jax.jit(lambda r, z: disc.init(r, z, train=False))(
+        jax.random.PRNGKey(4), jax.random.uniform(
+            jax.random.PRNGKey(5), (1, 64, 64, 1)))
+    params, sp = variables["params"], variables["spectral"]
+
+    sp_b = jax.jit(lambda p, s: advance_spectral_state(
+        p, s, n_iters=4, batched=True))(params, sp)
+    sp_o = jax.jit(lambda p, s: advance_spectral_state(
+        p, s, n_iters=4, batched=False))(params, sp)
+    for a, b in zip(jax.tree_util.tree_leaves(sp_b),
+                    jax.tree_util.tree_leaves(sp_o)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
+
+
 def test_cadence_noop_at_fixed_point():
     """Once u has converged, one more power iteration changes nothing —
     the 2x and 4x cadences share the same fixed point exactly."""
