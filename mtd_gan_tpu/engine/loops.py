@@ -303,7 +303,12 @@ def run_test(model, state, loader, eval_preprocess, family: str,
     # internally. dn joined the grouped path in round 5: the reverse chain
     # is vmapped over the group with per-slice fold_in keys
     # (sample_batched), keeping every slice's trajectory bit-identical to
-    # the batch-1 sweep (VERDICT r4 item 4).
+    # the batch-1 sweep (VERDICT r4 item 4). Measured on v5e at 512x512
+    # (PERF.md): grouping does NOT pay — the 65k-token chunked attention
+    # saturates the chip at batch 1 (13.9 s/slice; batch 2 is 15.8) and
+    # group >=4 crashes the worker on HBM — so test.py defaults dn to
+    # eval_batch=1; the grouped path stays for tile-scale sampling and is
+    # parity-pinned by tests/test_loops.py.
     group_n = eval_batch if family != "tr" else 1
 
     def _grouped(it):

@@ -38,9 +38,12 @@ def get_args_parser():
                         "{checkpoint-dir}/orbax latest")
     p.add_argument("--epoch", default=-1, type=int,
                    help="epoch to restore (-1 = latest)")
-    p.add_argument("--eval-batch", default=8, type=int,
+    p.add_argument("--eval-batch", default=None, type=int,
                    help="slices per forward in the sweep (metrics/PNGs stay "
-                        "per-slice; tr/dn families always run per-slice)")
+                        "per-slice). Default: 8, except 1 for tr (sliding "
+                        "window batches internally) and dn — measured on "
+                        "v5e, the 512x512 reverse chain saturates the chip "
+                        "at batch 1 and group >=4 exceeds HBM (PERF.md)")
     p.add_argument("--no-feature-metrics", action="store_true",
                    help="skip PL/TML/FID (no pretrained weights scenario)")
     p.add_argument("--seed", default=42, type=int)
@@ -77,12 +80,18 @@ def main(args):
     epoch, state = ckpt.restore(state, None if args.epoch < 0 else args.epoch)
     print(f"restored epoch {epoch}")
 
+    # family-aware grouped-forward default: dn measured on v5e at 512x512 —
+    # batch 1 13.9 s/slice, batch 2 15.8 (the 65k-token attention saturates
+    # the chip at batch 1), batch >=4 crashes the worker (HBM); PERF.md
+    eval_batch = args.eval_batch
+    if eval_batch is None:
+        eval_batch = 1 if family == "dn" else 8
     summary = run_test(
         model, state, eval_loader(ds, args.test_batch_size), eval_pre, family,
         save_dir=args.save_dir, rng=rng,
         compute_fid_metric=not args.no_feature_metrics,
         compute_feature_metrics=not args.no_feature_metrics,
-        eval_batch=args.eval_batch,
+        eval_batch=eval_batch,
     )
     line = {"epoch": epoch, "model": args.model, **summary, "memo": args.memo}
     os.makedirs(args.save_dir, exist_ok=True)

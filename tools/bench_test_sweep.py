@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--model", default="MTD_GAN_Method", type=str)
     ap.add_argument("--feature-metrics", action="store_true")
     ap.add_argument("--model-kwargs", default="", type=str)
+    ap.add_argument("--eval-batch", default=8, type=int,
+                    help="grouped-forward size (dn at 512x512 is HBM-bound: "
+                         "batch 8 crashes the v5e worker — see PERF.md)")
     args = ap.parse_args()
 
     import jax
@@ -69,12 +72,14 @@ def main():
         run_test(model, state, list(loader())[:2], eval_pre, family,
                  save_dir=os.path.join(tmp, "warm"),
                  compute_fid_metric=args.feature_metrics,
-                 compute_feature_metrics=args.feature_metrics)
+                 compute_feature_metrics=args.feature_metrics,
+                 eval_batch=args.eval_batch)
         t0 = time.perf_counter()
         run_test(model, state, loader(), eval_pre, family,
                  save_dir=os.path.join(tmp, "run"),
                  compute_fid_metric=args.feature_metrics,
-                 compute_feature_metrics=args.feature_metrics)
+                 compute_feature_metrics=args.feature_metrics,
+                 eval_batch=args.eval_batch)
         dt = time.perf_counter() - t0
     print(json.dumps({
         "bench": f"test_sweep/{args.model}"
