@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial
@@ -228,6 +229,14 @@ def run_test(model, state, loader, eval_preprocess, family: str,
 
     predictor = _predictor_for(model, state, family, rng,
                                dn_per_item_keys=True)
+    if family == "dn" and eval_batch > 2:
+        # measured on v5e at 512x512 (PERF.md): the grouped reverse chain
+        # saturates the chip at batch 1, batch 2 is slightly slower, and
+        # batch >=4 hard-crashes the TPU worker on HBM — warn loudly
+        # instead of letting a default-looking flag take the worker down
+        print(f"[run_test] WARNING: dn eval_batch={eval_batch} — groups "
+              ">=4 exceeded HBM and crashed the TPU worker when measured; "
+              "use --eval-batch 1 (the test.py dn default)", file=sys.stderr)
     rows = []
     feats = {"input": [], "gt": [], "pred": []}
     os.makedirs(save_dir, exist_ok=True)
